@@ -1,0 +1,170 @@
+"""High-level PLF engine: the TPU replacement for the reference host runtime.
+
+The reference host program (app/src/host_mem.cpp:11-547) owns: config
+resolution, buffer geometry, instance partitioning, kernel dispatch, the
+scaler reduction, and golden verification.  Here that becomes a small
+stateful :class:`PLFEngine` over pure jitted functions:
+
+* ``plf()``           — one PLF call (site batch -> parent CLV + scalers)
+* ``plf_batch()``     — N independent node-pairs at once (the reference's
+                        9-accelerator multi-instance mode, vmapped)
+* ``verify()``        — golden-model comparison with the reference's exact
+                        float-equality criterion (host_mem.cpp:403-442)
+
+CLVs stay device-resident between calls (the reference pays PCIe per call —
+its own README names that the main bottleneck, README.md:204; HBM residency
+is the TPU-native fix).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Backend, PLFConfig
+from .ops import layout as L
+from .ops.plf_pallas import plf_pallas, plf_pallas_lane_major
+from .ops.plf_xla import plf_xla
+from .reference import plf_reference
+
+__all__ = ["PLFEngine", "PLFResult", "plf"]
+
+
+@dataclasses.dataclass
+class PLFResult:
+    """Outputs of one PLF call (mirrors the reference's out + scaler bos)."""
+
+    x3: jax.Array               # (n, C, S) parent CLV
+    scaler_vector: jax.Array    # (n,) int32 per-site rescale flags
+    scaler_increment: jax.Array  # () int32 weighted sum (host_mem.cpp:385-388)
+
+
+class PLFEngine:
+    """Configured PLF evaluator.
+
+    Example::
+
+        eng = PLFEngine(PLFConfig(states=4, block_sites=4096))
+        out = eng.plf(x1, x2, left, right, ev, wgt)
+    """
+
+    def __init__(self, config: Optional[PLFConfig] = None):
+        self.config = config or PLFConfig()
+
+    # -- single call ---------------------------------------------------------
+
+    def plf(self, x1, x2, left, right, ev, wgt=None) -> PLFResult:
+        cfg = self.config
+        S, C = cfg.states, cfg.categories
+        n = np.asarray(x1).reshape(-1, C, S).shape[0] if isinstance(
+            x1, np.ndarray) else x1.reshape(-1, C, S).shape[0]
+        if wgt is None:
+            wgt = jnp.ones((n,), dtype=jnp.int32)
+        if cfg.backend is Backend.REFERENCE:
+            x3, sv, si = plf_reference(
+                np.asarray(x1), np.asarray(x2), np.asarray(left),
+                np.asarray(right), np.asarray(ev), np.asarray(wgt),
+                states=S, categories=C)
+            return PLFResult(jnp.asarray(x3), jnp.asarray(sv.astype(np.int32)),
+                             jnp.asarray(si, dtype=jnp.int32))
+        if cfg.backend is Backend.XLA:
+            x3, sv, si = plf_xla(jnp.asarray(x1), jnp.asarray(x2),
+                                 jnp.asarray(left), jnp.asarray(right),
+                                 jnp.asarray(ev), jnp.asarray(wgt),
+                                 states=S, categories=C)
+            return PLFResult(x3, sv, si)
+        x3, sv, si = plf_pallas(jnp.asarray(x1), jnp.asarray(x2),
+                                jnp.asarray(left), jnp.asarray(right),
+                                jnp.asarray(ev), jnp.asarray(wgt),
+                                states=S, categories=C,
+                                block_sites=cfg.block_sites,
+                                interpret=cfg.interpret)
+        return PLFResult(x3, sv, si)
+
+    # -- multi-instance (the 9-accelerator analogue) -------------------------
+
+    def plf_batch(self, x1, x2, left, right, ev, wgt=None) -> PLFResult:
+        """Evaluate ``I`` independent node-pairs in one dispatch.
+
+        Args are batched on a leading instance axis: ``x1/x2`` of shape
+        ``(I, n, C*S)`` (or ``(I, n, C, S)``), ``left/right`` ``(I, C, S, S)``,
+        ``ev`` ``(I, S, S)`` (the reference replicates one EV to all
+        instances — pass broadcasted).  Equivalent of NUM_ACCELERATORS=9
+        (Makefile:29): on TPU the instances dimension is just batch work for
+        the same kernel grid, no separate hardware contexts needed.
+        """
+        cfg = self.config
+        S, C = cfg.states, cfg.categories
+        x1 = jnp.asarray(x1)
+        ni = x1.shape[0]
+        n = x1.reshape(ni, -1, C, S).shape[1]
+        if wgt is None:
+            wgt = jnp.ones((ni, n), dtype=jnp.int32)
+        if cfg.backend is Backend.XLA or cfg.backend is Backend.REFERENCE:
+            fn = jax.vmap(
+                lambda a, b, l, r, e, w: plf_xla(a, b, l, r, e, w,
+                                                 states=S, categories=C))
+            x3, sv, si = fn(x1.reshape(ni, n, C, S),
+                            jnp.asarray(x2).reshape(ni, n, C, S),
+                            jnp.asarray(left), jnp.asarray(right),
+                            jnp.asarray(ev), jnp.asarray(wgt))
+            return PLFResult(x3, sv, si)
+        fn = jax.vmap(
+            lambda a, b, l, r, e, w: plf_pallas(
+                a, b, l, r, e, w, states=S, categories=C,
+                block_sites=cfg.block_sites, interpret=cfg.interpret))
+        x3, sv, si = fn(x1.reshape(ni, n, C, S),
+                        jnp.asarray(x2).reshape(ni, n, C, S),
+                        jnp.asarray(left), jnp.asarray(right),
+                        jnp.asarray(ev), jnp.asarray(wgt))
+        return PLFResult(x3, sv, si)
+
+    # -- verification (host_mem.cpp:403-442 semantics) -----------------------
+
+    def verify(self, result: PLFResult, x1, x2, left, right, ev, wgt=None,
+               max_errors: int = 20, exact: Optional[bool] = None):
+        """Golden-model check; returns (ok, n_errors, messages).
+
+        ``exact=True`` applies the reference's bit-exact float equality
+        criterion (host_mem.cpp:423) — the default on TPU.  On CPU backends
+        XLA contracts mul+add to FMA, so the default there is a <=4-ULP
+        tolerance.
+        """
+        cfg = self.config
+        if exact is None:
+            exact = jax.default_backend() == "tpu"
+        x3_ref, sv_ref, si_ref = plf_reference(
+            np.asarray(x1), np.asarray(x2), np.asarray(left),
+            np.asarray(right), np.asarray(ev),
+            None if wgt is None else np.asarray(wgt),
+            states=cfg.states, categories=cfg.categories)
+        got = np.asarray(result.x3).reshape(x3_ref.shape)
+        if exact:
+            neq = got != x3_ref
+        else:
+            tol = np.abs(x3_ref) * np.float32(5e-7) + np.float32(1e-37)
+            neq = np.abs(got - x3_ref) > tol
+        msgs = []
+        if neq.any():
+            idx = np.argwhere(neq)
+            for site, c, a in idx[:max_errors]:
+                msgs.append(
+                    f"ERROR: alignment data wrong at alignment {site}, "
+                    f"probability {c * cfg.states + a}, "
+                    f"cpu!=tpu: {x3_ref[site, c, a]}!={got[site, c, a]}")
+        n_errors = int(neq.sum())
+        si_got = int(np.asarray(result.scaler_increment))
+        if si_got != si_ref:
+            msgs.append(f"ERROR: scalerIncrement wrong, cpu!=tpu: "
+                        f"{si_ref}!={si_got}")
+            n_errors += 1
+        return n_errors == 0, n_errors, msgs
+
+
+def plf(x1, x2, left, right, ev, wgt=None, config: Optional[PLFConfig] = None):
+    """Functional one-shot PLF with a default engine."""
+    return PLFEngine(config).plf(x1, x2, left, right, ev, wgt)

@@ -1,0 +1,190 @@
+"""Fused Pallas TPU kernel for the Phylogenetic Likelihood Function.
+
+One kernel replaces the reference accelerator's whole per-lane dataflow
+diamond — ``mmul_branch(L) || mmul_branch(R) -> combine -> ev`` on four AIE
+tiles (aie/src/.../graph_window_PLF.h:26-34) *plus* the PL-side s2mm
+scaling unit (hls/src/s2mm_memDNAwindowComb.cpp:71-97).  On TPU the win is
+fusion: one HBM read of each child CLV block, all arithmetic in VMEM on the
+VPU, one HBM write of the parent CLV and the per-site scaler flags.
+
+Design notes (why this shape):
+
+* The PLF is memory-bound (~1.9 fp32 FLOP/byte, see BASELINE.md) so the
+  MXU is useless here — a (BS,4)x(4,4) matmul would occupy 4/128 of the
+  systolic array.  Everything runs on the 8x128 VPU with sites on the lane
+  axis.
+
+* CLV blocks use the canonical lane-major layout ``(S*C, BS)`` with row
+  ``r = state*C + cat`` (ops/layout.py).  Each of the three stages then only
+  needs (a) a contiguous C-row sublane slice, (b) a sublane-tile (concat of
+  S copies), and (c) a multiply by a lane-broadcast (rows,1) column of a
+  precomputed constant matrix — no gathers, no transposes in the hot loop:
+
+    stage1:  ump[k*C+c] = sum_a tile_S(x1[a*C : a*C+C]) * Lc[:, a]
+    stage2:  p = ump_left * ump_right
+    stage3:  x3[a*C+c] = sum_k tile_S(p[k*C : k*C+C]) * Ec[:, k]
+
+  ``Lc``/``Ec`` are built once outside the kernel
+  (layout.branch_to_lane_constants — the analogue of the reference PL's
+  pre-stream branch transpose, hls/src/transpose.cpp:6-24).
+
+* fp32 accumulation is strictly sequential over the unrolled a/k loops, so
+  results are **bit-exact** vs the scalar C reference (the reference's
+  correctness bar is exact float equality, app/src/host_mem.cpp:423).
+
+* Underflow rescale is fused: mask = all-over-rows(|x3| < 2^-32), applied
+  with a lane select; padding sites beyond ``n`` are excluded exactly like
+  s2mm's ``site < alignment_sites`` guard (s2mm_memDNAwindowComb.cpp:79).
+
+* The grid streams site blocks HBM->VMEM with double buffering (Pallas
+  default pipelining) — the analogue of the reference's 8 KiB AIE windows,
+  with ``block_sites`` playing the role of WINDOW_SIZE (Makefile:33).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..reference import MIN_LIKELIHOOD, TWO_TO_THE_32
+from . import layout as L
+
+__all__ = ["plf_pallas", "plf_pallas_lane_major"]
+
+
+def _tile_rows(x, copies: int):
+    """Repeat a (C, BS) block ``copies`` times along sublanes -> (C*copies, BS)."""
+    if copies == 1:
+        return x
+    return jnp.concatenate([x] * copies, axis=0)
+
+
+def _plf_kernel(n_ref, x1_ref, x2_ref, lc_ref, rc_ref, ec_ref,
+                x3_ref, sc_ref, *, states: int, categories: int,
+                block_sites: int):
+    S, C = states, categories
+    BS = block_sites
+
+    x1 = x1_ref[...]
+    x2 = x2_ref[...]
+
+    # Stage 1: branch products, sequential fp32 accumulation over source
+    # state a (matches plf.cpp:35-39 order; 0.0+x == x exactly in IEEE).
+    ump1 = _tile_rows(x1[0:C, :], S) * lc_ref[:, 0:1]
+    ump2 = _tile_rows(x2[0:C, :], S) * rc_ref[:, 0:1]
+    for a in range(1, S):
+        ump1 = ump1 + _tile_rows(x1[a * C:(a + 1) * C, :], S) * lc_ref[:, a:a + 1]
+        ump2 = ump2 + _tile_rows(x2[a * C:(a + 1) * C, :], S) * rc_ref[:, a:a + 1]
+
+    # Stage 2: element-wise child product (combine.cpp:28-35 analogue).
+    p = ump1 * ump2
+
+    # Stage 3: eigenvector projection, sequential over k (plf.cpp:45-50).
+    x3 = _tile_rows(p[0:C, :], S) * ec_ref[:, 0:1]
+    for k in range(1, S):
+        x3 = x3 + _tile_rows(p[k * C:(k + 1) * C, :], S) * ec_ref[:, k:k + 1]
+
+    # Stage 4: fused underflow rescale (s2mm_memDNAwindowComb.cpp:71-85).
+    small = jnp.abs(x3) < MIN_LIKELIHOOD
+    mask = jnp.all(small, axis=0, keepdims=True)              # (1, BS)
+    site0 = pl.program_id(0) * BS
+    idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
+    valid = idx < n_ref[0]
+    mask = jnp.logical_and(mask, valid)
+    x3_ref[...] = jnp.where(mask, x3 * TWO_TO_THE_32, x3)
+    sc_ref[...] = mask.astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("states", "categories", "block_sites", "interpret"))
+def plf_pallas_lane_major(x1, x2, lc, rc, ec, n, *, states: int = 4,
+                          categories: int = 4, block_sites: int = 4096,
+                          interpret: bool = False):
+    """Fused PLF on lane-major operands.
+
+    Args:
+      x1, x2: ``(S*C, n_pad)`` fp32 lane-major CLVs, ``n_pad`` a multiple of
+        ``block_sites``.
+      lc, rc: ``(S*C, S)`` branch constants (layout.branch_to_lane_constants).
+      ec: ``(S*C, S)`` eigenvector constants (layout.ev_to_lane_constants).
+      n: scalar int32 — number of *valid* sites (padding excluded from the
+        scaler stream, mirroring include.h:181-195 padding semantics).
+
+    Returns:
+      ``(x3, scaler)``: ``(S*C, n_pad)`` fp32 parent CLV and ``(1, n_pad)``
+      int32 per-site rescale flags.
+    """
+    S, C = states, categories
+    rows = S * C
+    n_pad = x1.shape[-1]
+    if n_pad % block_sites:
+        raise ValueError(f"n_pad={n_pad} not a multiple of {block_sites}")
+    grid = (n_pad // block_sites,)
+    n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
+
+    # Index maps receive (grid_idx, *scalar_prefetch_refs).
+    block = pl.BlockSpec((rows, block_sites), lambda i, n: (0, i),
+                         memory_space=pltpu.VMEM)
+    const = pl.BlockSpec((rows, S), lambda i, n: (0, 0),
+                         memory_space=pltpu.VMEM)
+    kernel = functools.partial(_plf_kernel, states=S, categories=C,
+                               block_sites=block_sites)
+    bytes_per_block = rows * block_sites * 4
+    x3, scaler = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[block, block, const, const, const],
+            out_specs=[
+                block,
+                pl.BlockSpec((1, block_sites), lambda i, n: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            # ~23 fp32 VPU ops per CLV element (see BASELINE.md FLOP count)
+            flops=23 * rows * n_pad,
+            bytes_accessed=3 * bytes_per_block * grid[0] + 4 * n_pad,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_arr, x1, x2, lc, rc, ec)
+    return x3, scaler
+
+
+def plf_pallas(x1, x2, left, right, ev, wgt, *, states: int = 4,
+               categories: int = 4, block_sites: int = 4096,
+               interpret: bool = False):
+    """Site-major convenience wrapper: layout in, kernel, layout out.
+
+    Same signature/returns as :func:`plf_tpu.ops.plf_xla.plf_xla`.
+    For production tree traversals keep CLVs lane-major and call
+    :func:`plf_pallas_lane_major` directly (no transpose cost).
+    """
+    S, C = states, categories
+    n = x1.reshape(-1, C, S).shape[0]
+    n2 = x2.reshape(-1, C, S).shape[0]
+    if n != n2:
+        raise ValueError(f"x1/x2 site count mismatch: {n} vs {n2}")
+    x1l = L.pad_to_multiple(L.to_lane_major(x1, S, C), block_sites)
+    x2l = L.pad_to_multiple(L.to_lane_major(x2, S, C), block_sites)
+    lc = L.branch_to_lane_constants(left, S, C)
+    rc = L.branch_to_lane_constants(right, S, C)
+    ec = L.ev_to_lane_constants(ev, S, C)
+    x3l, scaler = plf_pallas_lane_major(
+        x1l, x2l, lc, rc, ec, n, states=S, categories=C,
+        block_sites=block_sites, interpret=interpret)
+    x3 = L.from_lane_major(x3l, S, C, n=n)
+    scaler_vector = scaler[0, :n]
+    scaler_increment = jnp.sum(scaler_vector * jnp.asarray(wgt, jnp.int32))
+    return x3, scaler_vector, scaler_increment
