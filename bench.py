@@ -1,0 +1,142 @@
+"""Headline benchmark: fused-PLF throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "plf_dna_sites_per_sec", "value": N, "unit": "sites/s",
+   "vs_baseline": N / 2.7e9}
+
+Baseline: the reference accelerator's best theoretical full-card
+throughput — 9 instances x 4 lanes x 128-bit PLIO @ 300 MHz = 1 site/
+cycle/instance = 2.7e9 sites/s (BASELINE.md; Makefile:29,41; run_all.sh:8).
+That is the ceiling the VCK5000 design was built toward; vs_baseline > 1
+means one TPU chip beats the whole card's PLIO bound.
+
+Protocol (mirrors the reference's hot loop, host_mem.cpp:283-394, but with
+CLVs HBM-resident — the TPU-native fix for its PCIe bottleneck,
+README.md:204): device-resident lane-major CLVs, K chained PLF calls
+inside one jit (lax.scan), steady-state timing after warmup.  Extra
+diagnostics (bandwidth, roofline fraction, block-size sweep) go to stderr.
+"""
+
+import argparse
+import functools
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_inputs(n_sites, states, categories, seed=0):
+    from plf_tpu.ops import layout as L
+    rng = np.random.default_rng(seed)
+    S, C = states, categories
+    e = S * C
+    x1 = rng.random((e, n_sites), dtype=np.float32) + np.float32(0.01)
+    x2 = rng.random((e, n_sites), dtype=np.float32) + np.float32(0.01)
+    left = rng.random((C, S, S), dtype=np.float32)
+    right = rng.random((C, S, S), dtype=np.float32)
+    ev = rng.random((S, S), dtype=np.float32)
+    lc = L.branch_to_lane_constants(left, S, C)
+    rc = L.branch_to_lane_constants(right, S, C)
+    ec = L.ev_to_lane_constants(ev, S, C)
+    return x1, x2, lc, rc, ec
+
+
+def bench_fused(n_sites=1 << 22, iters=32, block=4096, states=4,
+                categories=4, warmup=2):
+    """sites/s of the fused kernel, K chained calls in one dispatch."""
+    import jax
+    import jax.numpy as jnp
+    from plf_tpu.ops.plf_pallas import plf_pallas_lane_major
+
+    S, C = states, categories
+    x1, x2, lc, rc, ec = make_inputs(n_sites, S, C)
+    x1d, x2d = jnp.asarray(x1), jnp.asarray(x2)
+    lcd, rcd, ecd = jnp.asarray(lc), jnp.asarray(rc), jnp.asarray(ec)
+    n = jnp.int32(n_sites)
+    interpret = jax.default_backend() != "tpu"
+
+    kernel = functools.partial(
+        plf_pallas_lane_major, states=S, categories=C, block_sites=block,
+        interpret=interpret)
+
+    @jax.jit
+    def chained(x1, x2, lc, rc, ec, n):
+        def body(carry, _):
+            a, b, acc = carry
+            x3, sc = kernel(a, b, lc, rc, ec, n)
+            # Chain: parent becomes the next left child (tree-traversal
+            # access pattern); accumulate scalers to defeat DCE.
+            return (x3, b, acc + jnp.sum(sc)), ()
+        (xf, _, acc), _ = jax.lax.scan(
+            body, (x1, x2, jnp.int32(0)), None, length=iters)
+        return xf, acc
+
+    def fence(out):
+        # Through the axon relay block_until_ready can return before the
+        # device finishes; fetching a scalar to host is a true fence.
+        return int(np.asarray(out[1]))
+
+    fence(chained(x1d, x2d, lcd, rcd, ecd, n))  # compile + warm
+    best = None
+    for _ in range(warmup + 1):
+        t0 = time.perf_counter()
+        fence(chained(x1d, x2d, lcd, rcd, ecd, n))
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    sites_per_sec = n_sites * iters / best
+    bytes_per_site = (3 * S * C + 1) * 4
+    gbs = sites_per_sec * bytes_per_site / 1e9
+    log(f"fused kernel: n={n_sites} block={block} iters={iters} "
+        f"time={best*1e3:.2f}ms -> {sites_per_sec/1e9:.3f} Gsites/s, "
+        f"{gbs:.0f} GB/s effective")
+    return sites_per_sec
+
+
+BASELINE_SITES_PER_SEC = 2.7e9  # 9 instances x 300 Msites/s PLIO bound
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sites", type=int, default=1 << 22)
+    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--block", type=int, default=4096)
+    ap.add_argument("--sweep", action="store_true",
+                    help="block-size sweep + protein bench to stderr")
+    args = ap.parse_args()
+
+    import jax
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+    if jax.default_backend() != "tpu":
+        # CPU fallback (interpret mode) — tiny shapes so it finishes.
+        args.sites = min(args.sites, 1 << 12)
+        args.iters = 2
+
+    if args.sweep and jax.default_backend() == "tpu":
+        for blk in (1024, 2048, 4096, 8192, 16384):
+            try:
+                bench_fused(n_sites=args.sites, iters=8, block=blk)
+            except Exception as e:
+                log(f"block={blk}: {type(e).__name__}: {e}")
+        try:
+            sps = bench_fused(n_sites=args.sites // 4, iters=8,
+                              block=1024, states=20)
+            log(f"protein 20-state: {sps/1e9:.3f} Gsites/s")
+        except Exception as e:
+            log(f"protein: {type(e).__name__}: {e}")
+
+    sps = bench_fused(n_sites=args.sites, iters=args.iters, block=args.block)
+    print(json.dumps({
+        "metric": "plf_dna_sites_per_sec",
+        "value": round(sps, 1),
+        "unit": "sites/s",
+        "vs_baseline": round(sps / BASELINE_SITES_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

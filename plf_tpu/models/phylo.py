@@ -1,24 +1,31 @@
 """Whole-tree likelihood evaluation: the production driver around the PLF.
 
-This is the flagship "model" of the framework: repeated fused-PLF calls
-over a post-order tree schedule with device-resident lane-major CLVs,
-ending in the root log-likelihood reduction.  It corresponds to the
-RAxML context the reference accelerator plugs into (one `newviewGAMMA`
-per internal node per tree evaluation; the reference benchmarks
-``plf_calls`` repetitions of a single node, host_mem.cpp:283-394).
+This is the flagship model of the framework: the entire post-order tree
+traversal — every internal node's fused PLF, the underflow-scaler
+accumulation, and the root likelihood reduction — compiles into ONE XLA
+dispatch per (tree, site-count) shape.  It corresponds to the RAxML
+context the reference accelerator plugs into (one ``newviewGAMMA`` per
+internal node per evaluation; the reference benchmarks ``plf_calls``
+repetitions of a single node, host_mem.cpp:283-394, and pays PCIe per
+call — README.md:204 names that its main bottleneck; here CLVs never
+leave HBM).
+
+Tips are held as int8 state codes and expanded to eigen-coordinate CLVs
+*on device* inside the traversal (a (S, S+1) matmul against the one-hot
+of the code), so host->device traffic is 1 byte/site/leaf instead of 64.
 
 Log-likelihood:  ll = sum_s wgt_s * log( (1/C) sum_c rv . x_root[s,c,:] )
                      + scaler_total * log(2^-32)
 
-where ``rv = pi^T U`` maps the eigen-coordinate root CLV to per-category
-site likelihoods and ``scaler_total`` is the wgt-weighted count of all
-underflow rescales anywhere in the tree (each rescale multiplied a site
-CLV by 2^32; RAxML folds them back exactly this way).
+with ``rv = pi^T U`` (eigen->likelihood root vector) and ``scaler_total``
+the wgt-weighted count of all rescales in the tree (each multiplied a
+site CLV by 2^32; folded back exactly as RAxML does).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional
 
 import jax
@@ -29,7 +36,6 @@ from ..config import Backend, PLFConfig
 from ..ops import layout as L
 from ..ops.plf_pallas import plf_pallas_lane_major
 from ..ops.plf_xla import plf_xla
-from ..reference import MIN_LIKELIHOOD
 from .substitution import SubstitutionModel, branch_matrices
 from .tree import Tree
 
@@ -43,7 +49,7 @@ class TreeLikelihoodResult:
     log_likelihood: float
     site_log_likelihood: np.ndarray   # (n_sites,) float64, pre-weighting
     scaler_total: int                 # wgt-weighted rescale count
-    clvs: Optional[Dict[int, jax.Array]] = None  # node -> lane-major CLV
+    root_clv: Optional[jax.Array] = None  # lane-major root CLV (if kept)
 
 
 class PhyloModel:
@@ -62,8 +68,8 @@ class PhyloModel:
         """
         Args:
           tip_states: (n_leaves, n_sites) int array of observed states per
-            leaf (same leaf order as tree node indices 0..n_leaves-1);
-            out-of-range values = gap/ambiguous.
+            leaf (leaf order = tree node indices 0..n_leaves-1);
+            out-of-range/negative values = gap/ambiguous.
           wgt: (n_sites,) site pattern weights (RAxML wgt, plf.cpp:63).
           alpha: gamma shape; None = uniform rates.
         """
@@ -74,9 +80,8 @@ class PhyloModel:
             cfg = dataclasses.replace(cfg, states=model.states)
         self.config = cfg
         self.tip_states = np.asarray(tip_states)
-        n_sites = self.tip_states.shape[1]
-        self.n_sites = n_sites
-        self.wgt = (np.ones(n_sites, np.int32) if wgt is None
+        self.n_sites = int(self.tip_states.shape[1])
+        self.wgt = (np.ones(self.n_sites, np.int32) if wgt is None
                     else np.asarray(wgt, np.int32))
         if alpha is None:
             self.rates = np.ones(cfg.categories)
@@ -85,79 +90,119 @@ class PhyloModel:
             self.rates = discrete_gamma_rates(alpha, cfg.categories)
 
         S, C = cfg.states, cfg.categories
-        # EV constants are branch-independent: precompute once.
-        self._ec = L.ev_to_lane_constants(
-            jnp.asarray(model.plf_ev), S, C)
-        self._ev = jnp.asarray(model.plf_ev)
-        # Root reduction vector over lane-major rows (row = a*C + c):
-        rv = model.root_vector  # (S,)
-        rows = np.repeat(rv, C) / C
-        self._root_rows = jnp.asarray(rows, jnp.float32).reshape(1, S * C)
-        self._wgt_dev = jnp.asarray(self.wgt, jnp.int32)
+        self.n_pad = L.sites_padding(self.n_sites, cfg.block_sites)
+        self.schedule = tree.schedule()
 
-    # -- CLV preparation -----------------------------------------------------
+        # --- device constants, all shipped once -----------------------------
+        self._ec = jnp.asarray(L.ev_to_lane_constants(model.plf_ev, S, C))
+        # Stacked per-edge branch constants for the whole schedule.
+        lcs, rcs = [], []
+        for _, _, _, tl, tr in self.schedule:
+            lcs.append(L.branch_to_lane_constants(
+                branch_matrices(model, tl, self.rates, C), S, C))
+            rcs.append(L.branch_to_lane_constants(
+                branch_matrices(model, tr, self.rates, C), S, C))
+        self._lcs = jnp.asarray(np.stack(lcs))   # (E, S*C, S)
+        self._rcs = jnp.asarray(np.stack(rcs))
+        # Tip expansion table: row s of tip_table is the eigen-coordinate
+        # CLV of observed state s; last row = gap (all-ones likelihood).
+        # Column b (b < S) is W.e_b = w[:, b]; extra column S is the gap
+        # CLV W.1 (all states equally likely).
+        tbl = np.concatenate([model.w, model.w.sum(axis=1, keepdims=True)],
+                             axis=1)             # (S, S+1)
+        self._tip_table = jnp.asarray(tbl.astype(np.float32))
+        # Root reduction over lane-major rows (row = a*C + c): pi^T U / C.
+        rows = np.repeat(model.root_vector, C) / C
+        self._root_rows = jnp.asarray(rows.astype(np.float32)).reshape(1, -1)
+        # Tip codes, padded; padding sites get the gap code (harmless).
+        codes = np.where(
+            (self.tip_states >= 0) & (self.tip_states < S),
+            self.tip_states, S).astype(np.int32)
+        codes = L.pad_to_multiple(codes, self.n_pad, axis=-1)
+        codes[:, self.n_sites:] = S
+        self._codes = jnp.asarray(codes)          # (n_leaves, n_pad)
+        wpad = L.pad_to_multiple(self.wgt.reshape(1, -1), self.n_pad,
+                                 axis=-1)
+        self._wgt_dev = jnp.asarray(wpad[0])      # (n_pad,) zeros on padding
+        self._traverse = None
 
-    def _tip_clv_lane_major(self, leaf: int, n_pad: int) -> jax.Array:
+    # -- the single-dispatch traversal --------------------------------------
+
+    def _build_traverse(self):
         cfg = self.config
-        clv = self.model.tip_clv(self.tip_states[leaf], cfg.categories)
-        x = L.to_lane_major(clv, cfg.states, cfg.categories)
-        x = L.pad_to_multiple(x, n_pad, axis=-1)
-        return jnp.asarray(x)
+        S, C = cfg.states, cfg.categories
+        n, n_pad = self.n_sites, self.n_pad
+        schedule = self.schedule
+        n_leaves = self.tree.n_leaves
+        root = self.tree.root
+        use_pallas = cfg.backend is not Backend.XLA
+        interpret = cfg.interpret or (jax.default_backend() != "tpu")
+
+        def expand_tip(codes_row, tip_table):
+            onehot = (codes_row[None, :] ==
+                      jnp.arange(S + 1, dtype=jnp.int32)[:, None]
+                      ).astype(jnp.float32)                     # (S+1, n_pad)
+            x = tip_table @ onehot                              # (S, n_pad)
+            return jnp.repeat(x, C, axis=0)                     # rows a*C+c
+
+        def traverse(codes, lcs, rcs, ec, tip_table, wgt):
+            clvs: Dict[int, jax.Array] = {}
+            scaler_total = jnp.int32(0)
+            for e, (parent, lc_i, rc_i, _, _) in enumerate(schedule):
+                childs = []
+                for ch in (lc_i, rc_i):
+                    if ch < n_leaves and ch not in clvs:
+                        clvs[ch] = expand_tip(codes[ch], tip_table)
+                    childs.append(clvs[ch])
+                x1, x2 = childs
+                if use_pallas:
+                    x3, sc = plf_pallas_lane_major(
+                        x1, x2, lcs[e], rcs[e], ec, jnp.int32(n),
+                        states=S, categories=C,
+                        block_sites=cfg.block_sites, interpret=interpret)
+                    inc = jnp.sum(sc[0] * wgt)
+                else:
+                    x3s, scs, inc = plf_xla(
+                        L.from_lane_major(x1, S, C),
+                        L.from_lane_major(x2, S, C),
+                        _unlane_branch(lcs[e], S, C),
+                        _unlane_branch(rcs[e], S, C),
+                        _unlane_ev(ec, S, C), wgt,
+                        states=S, categories=C)
+                    x3 = L.to_lane_major(x3s, S, C)
+                    inc = inc
+                scaler_total = scaler_total + inc
+                clvs[parent] = x3
+                for ch in (lc_i, rc_i):
+                    if ch >= n_leaves:
+                        del clvs[ch]
+            x_root = clvs[root]
+            lik = (self._root_rows @ x_root)[0]          # (n_pad,)
+            return lik, scaler_total, x_root
+
+        return jax.jit(traverse)
 
     # -- evaluation ----------------------------------------------------------
 
-    def log_likelihood(self, keep_clvs: bool = False) -> TreeLikelihoodResult:
-        cfg = self.config
-        S, C = cfg.states, cfg.categories
+    def log_likelihood(self, keep_root_clv: bool = False
+                       ) -> TreeLikelihoodResult:
+        if self._traverse is None:
+            self._traverse = self._build_traverse()
+        lik, scaler_total, x_root = self._traverse(
+            self._codes, self._lcs, self._rcs, self._ec, self._tip_table,
+            self._wgt_dev)
         n = self.n_sites
-        n_pad = L.sites_padding(n, cfg.block_sites)
-
-        clvs: Dict[int, jax.Array] = {}
-        for leaf in range(self.tree.n_leaves):
-            clvs[leaf] = self._tip_clv_lane_major(leaf, n_pad)
-
-        scaler_total = jnp.zeros((), jnp.int32)
-        for parent, lchild, rchild, tl, tr in self.tree.schedule():
-            left = branch_matrices(self.model, tl, self.rates, C)
-            right = branch_matrices(self.model, tr, self.rates, C)
-            if cfg.backend is Backend.XLA:
-                x1 = L.from_lane_major(clvs[lchild], S, C)
-                x2 = L.from_lane_major(clvs[rchild], S, C)
-                wpad = jnp.zeros((n_pad,), jnp.int32).at[:n].set(self._wgt_dev)
-                x3, _, inc = plf_xla(x1, x2, jnp.asarray(left),
-                                     jnp.asarray(right), self._ev, wpad,
-                                     states=S, categories=C)
-                # XLA path has no padding-validity guard: zero-CLV padding
-                # sites would rescale (|0| < 2^-32); wgt=0 keeps the count
-                # right and the padded CLV values are trimmed at the end.
-                clvs[parent] = L.to_lane_major(x3, S, C)
-            else:
-                lc = L.branch_to_lane_constants(jnp.asarray(left), S, C)
-                rc = L.branch_to_lane_constants(jnp.asarray(right), S, C)
-                x3l, scal = plf_pallas_lane_major(
-                    clvs[lchild], clvs[rchild], lc, rc, self._ec, n,
-                    states=S, categories=C, block_sites=cfg.block_sites,
-                    interpret=cfg.interpret)
-                clvs[parent] = x3l
-                inc = jnp.sum(scal[0, :n] * self._wgt_dev)
-            scaler_total = scaler_total + inc
-            if not keep_clvs:
-                for ch in (lchild, rchild):
-                    if ch >= self.tree.n_leaves:
-                        clvs.pop(ch, None)
-
-        x_root = clvs[self.tree.root]
-        lik = (self._root_rows @ x_root)[0, :n]    # (n,) fp32 site likelihood
         # Final log/sum on host in float64 (device x64 is disabled by
-        # default in JAX; the n-term sum wants the extra precision anyway).
-        site_ll = np.log(np.asarray(lik, dtype=np.float64))
+        # default; the n-term sum wants the precision anyway).
+        lik_h = np.asarray(lik, dtype=np.float64)[:n]
+        site_ll = np.log(lik_h)
         ll = float(np.sum(site_ll * self.wgt) +
                    int(scaler_total) * LOG_MINLIK)
         return TreeLikelihoodResult(
             log_likelihood=ll,
             site_log_likelihood=site_ll,
             scaler_total=int(scaler_total),
-            clvs=clvs if keep_clvs else None)
+            root_clv=x_root if keep_root_clv else None)
 
     # -- brute-force oracle (tests) -----------------------------------------
 
@@ -174,7 +219,7 @@ class PhyloModel:
             onehot[np.arange(n)[valid], si[valid]] = 1.0
             onehot[~valid] = 1.0
             partials[leaf] = np.repeat(onehot[:, None, :], C, axis=1)
-        for parent, lc, rc, tl, tr in self.tree.schedule():
+        for parent, lc, rc, tl, tr in self.schedule:
             out = np.empty((n, C, S))
             for c in range(C):
                 P1 = m.p_matrix(tl, self.rates[c])
@@ -185,3 +230,15 @@ class PhyloModel:
         root = partials[self.tree.root]
         lik = np.mean(root @ m.pi, axis=1)
         return float(np.sum(np.log(lik) * self.wgt))
+
+
+def _unlane_branch(lc, S, C):
+    """Invert layout.branch_to_lane_constants (XLA-backend path)."""
+    b = lc.reshape(S, C, S)            # [k, c, a]
+    return jnp.transpose(b, (1, 0, 2))  # [c, k, a]
+
+
+def _unlane_ev(ec, S, C):
+    """Invert layout.ev_to_lane_constants."""
+    e = ec.reshape(S, C, S)[:, 0, :]   # [a, k] (rows replicated over c)
+    return jnp.transpose(e, (1, 0))    # [k, a]

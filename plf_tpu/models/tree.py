@@ -118,9 +118,9 @@ def parse_newick(text: str) -> Tree:
                 if text[pos] == ")":
                     pos += 1
                     break
-        # optional label
+        # optional "label[:length]" (must consume ':' so it can't stall)
         start = pos
-        while pos < len(text) and text[pos] not in ",():;":
+        while pos < len(text) and text[pos] not in ",();":
             pos += 1
         label = text[start:pos]
         if ":" in label:

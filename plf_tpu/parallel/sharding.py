@@ -96,6 +96,8 @@ def plf_sharded(x1, x2, lc, rc, ec, wgt, n, *, mesh: Mesh, states: int = 4,
         in_specs=(spec_data, spec_data, spec_rep, spec_rep, spec_rep,
                   spec_data, P()),
         out_specs=(spec_data, spec_data, P()),
+        # Pallas calls don't declare varying-mesh-axes metadata yet.
+        check_vma=False,
     )
     return fn(x1, x2, lc, rc, ec, wgt, jnp.asarray(n, jnp.int32))
 
