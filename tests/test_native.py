@@ -1,0 +1,103 @@
+"""Native runtime library tests: bit-exact vs the NumPy golden model."""
+
+import numpy as np
+import pytest
+
+from plf_tpu.runtime import native
+from plf_tpu.ops import layout as L
+from plf_tpu.reference import plf_reference
+from tests.conftest import make_random_case
+
+pytestmark = pytest.mark.skipif(
+    not native.native_available(),
+    reason="native toolchain unavailable (libplf_native.so not built)")
+
+
+def test_native_golden_bitexact_vs_numpy():
+    rng = np.random.default_rng(30)
+    case = make_random_case(rng, 1000)
+    ref = plf_reference(*case)
+    x3, sv, inc = native.plf_golden_native(*case)
+    np.testing.assert_array_equal(x3, ref[0])
+    np.testing.assert_array_equal(sv, ref[1])
+    assert inc == ref[2]
+
+
+def test_native_golden_multithreaded_exact():
+    rng = np.random.default_rng(31)
+    case = make_random_case(rng, 50_000)
+    x3a, sva, inca = native.plf_golden_native(*case, threads=1)
+    x3b, svb, incb = native.plf_golden_native(*case, threads=8)
+    np.testing.assert_array_equal(x3a, x3b)
+    assert inca == incb
+    ref = plf_reference(*case)
+    np.testing.assert_array_equal(x3b, ref[0])
+    assert incb == ref[2]
+
+
+def test_native_golden_protein():
+    rng = np.random.default_rng(32)
+    case = make_random_case(rng, 500, states=20)
+    ref = plf_reference(*case, states=20)
+    x3, sv, inc = native.plf_golden_native(*case, states=20)
+    np.testing.assert_array_equal(x3, ref[0])
+    assert inc == ref[2]
+
+
+def test_native_lane_layout_roundtrip():
+    rng = np.random.default_rng(33)
+    clv = rng.random((777, 16), dtype=np.float32)
+    lm = native.to_lane_major_native(clv)
+    np.testing.assert_array_equal(lm, L.to_lane_major(clv))
+    back = native.from_lane_major_native(lm, n=777)
+    np.testing.assert_array_equal(back.reshape(777, 16), clv)
+
+
+def test_native_instance_packing_roundtrip():
+    rng = np.random.default_rng(34)
+    ev = rng.random((4, 4), dtype=np.float32)
+    branch = rng.random((4, 4, 4), dtype=np.float32)
+    clv = rng.random((100, 4, 4), dtype=np.float32)
+    for combined in (True, False):
+        buf = native.pack_instance_native(ev, branch, clv,
+                                          combined=combined)
+        # COMBINED header = EV+branch (5*16 elems, include.h:207-209);
+        # SEPARATE right header = branch only (4*16, include.h:210-221).
+        header = (5 if combined else 4) * 16
+        assert buf.size == header + 100 * 16
+        ev2, br2, clv2 = native.unpack_instance_native(
+            buf, 100, combined=combined)
+        if combined:
+            np.testing.assert_array_equal(ev2, ev)
+        np.testing.assert_array_equal(br2, branch)
+        np.testing.assert_array_equal(clv2, clv)
+
+
+def test_native_transpose_branch():
+    rng = np.random.default_rng(35)
+    b = rng.random((4, 4, 4), dtype=np.float32)
+    t = native.transpose_branch_native(b)
+    np.testing.assert_array_equal(t, np.transpose(b, (0, 2, 1)))
+    # Round trip through the fixture convention: untransposing the
+    # transposed block recovers the original (io/fixtures semantics).
+    t2 = native.transpose_branch_native(t)
+    np.testing.assert_array_equal(t2, b)
+
+
+def test_streaming_executor_pipeline():
+    """Executor yields correct results for a stream of distinct calls."""
+    from plf_tpu.config import PLFConfig
+    from plf_tpu.runtime import StreamingExecutor
+    rng = np.random.default_rng(36)
+    cases = [make_random_case(rng, 200) for _ in range(5)]
+    ex = StreamingExecutor(PLFConfig(block_sites=128, interpret=True),
+                           inflight=2)
+    results = list(ex.run(iter(cases)))
+    assert len(results) == 5
+    for (x3, inc), case in zip(results, cases):
+        ref = plf_reference(*case)
+        np.testing.assert_allclose(np.asarray(x3), ref[0], rtol=5e-7,
+                                   atol=1e-37)
+        assert inc == ref[2]
+    assert ex.timing.num_calls == 5
+    assert ex.timing.total() > 0
