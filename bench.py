@@ -31,12 +31,23 @@ def log(*a):
 
 
 def make_inputs(n_sites, states, categories, seed=0):
+    """CLVs generated ON DEVICE (host->HBM transfer of GBs through the
+    tunnel would dominate setup); small matrices on host."""
+    import jax
+    import jax.numpy as jnp
     from plf_tpu.ops import layout as L
     rng = np.random.default_rng(seed)
     S, C = states, categories
     e = S * C
-    x1 = rng.random((e, n_sites), dtype=np.float32) + np.float32(0.01)
-    x2 = rng.random((e, n_sites), dtype=np.float32) + np.float32(0.01)
+
+    @jax.jit
+    def gen(key):
+        k1, k2 = jax.random.split(key)
+        x1 = jax.random.uniform(k1, (e, n_sites), jnp.float32, 0.01, 1.0)
+        x2 = jax.random.uniform(k2, (e, n_sites), jnp.float32, 0.01, 1.0)
+        return x1, x2
+
+    x1, x2 = gen(jax.random.key(seed))
     left = rng.random((C, S, S), dtype=np.float32)
     right = rng.random((C, S, S), dtype=np.float32)
     ev = rng.random((S, S), dtype=np.float32)
@@ -46,9 +57,15 @@ def make_inputs(n_sites, states, categories, seed=0):
     return x1, x2, lc, rc, ec
 
 
-def bench_fused(n_sites=1 << 22, iters=32, block=4096, states=4,
+def bench_fused(n_sites=1 << 25, iters=5, block=8192, states=4,
                 categories=4, warmup=2):
-    """sites/s of the fused kernel, K chained calls in one dispatch."""
+    """sites/s of the fused kernel: direct large-N calls, scalar fence.
+
+    One call per timing sample (large N amortises dispatch overhead —
+    through the axon tunnel each launch carries ~1.7 ms fixed cost that a
+    real pod does not).  The fence fetches only a scalar: fetching arrays
+    would measure the host tunnel, not the device.
+    """
     import jax
     import jax.numpy as jnp
     from plf_tpu.ops.plf_pallas import plf_pallas_lane_major
@@ -65,33 +82,26 @@ def bench_fused(n_sites=1 << 22, iters=32, block=4096, states=4,
         interpret=interpret)
 
     @jax.jit
-    def chained(x1, x2, lc, rc, ec, n):
-        def body(carry, _):
-            a, b, acc = carry
-            x3, sc = kernel(a, b, lc, rc, ec, n)
-            # Chain: parent becomes the next left child (tree-traversal
-            # access pattern); accumulate scalers to defeat DCE.
-            return (x3, b, acc + jnp.sum(sc)), ()
-        (xf, _, acc), _ = jax.lax.scan(
-            body, (x1, x2, jnp.int32(0)), None, length=iters)
-        return xf, acc
+    def onecall(x1, x2, lc, rc, ec, n):
+        x3, sc = kernel(x1, x2, lc, rc, ec, n)
+        # Tiny reductions so only scalars leave the device; sum over a
+        # slice keeps the fence cost independent of n.
+        return jnp.sum(x3[:, :8]), jnp.sum(sc)
 
     def fence(out):
-        # Through the axon relay block_until_ready can return before the
-        # device finishes; fetching a scalar to host is a true fence.
-        return int(np.asarray(out[1]))
+        return float(np.asarray(out[0])), int(np.asarray(out[1]))
 
-    fence(chained(x1d, x2d, lcd, rcd, ecd, n))  # compile + warm
-    best = None
-    for _ in range(warmup + 1):
+    fence(onecall(x1d, x2d, lcd, rcd, ecd, n))  # compile + warm
+    times = []
+    for _ in range(warmup + iters):
         t0 = time.perf_counter()
-        fence(chained(x1d, x2d, lcd, rcd, ecd, n))
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    sites_per_sec = n_sites * iters / best
+        fence(onecall(x1d, x2d, lcd, rcd, ecd, n))
+        times.append(time.perf_counter() - t0)
+    best = min(times[warmup:])
+    sites_per_sec = n_sites / best
     bytes_per_site = (3 * S * C + 1) * 4
     gbs = sites_per_sec * bytes_per_site / 1e9
-    log(f"fused kernel: n={n_sites} block={block} iters={iters} "
+    log(f"fused kernel: n={n_sites} block={block} "
         f"time={best*1e3:.2f}ms -> {sites_per_sec/1e9:.3f} Gsites/s, "
         f"{gbs:.0f} GB/s effective")
     return sites_per_sec
@@ -102,9 +112,9 @@ BASELINE_SITES_PER_SEC = 2.7e9  # 9 instances x 300 Msites/s PLIO bound
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sites", type=int, default=1 << 22)
-    ap.add_argument("--iters", type=int, default=32)
-    ap.add_argument("--block", type=int, default=4096)
+    ap.add_argument("--sites", type=int, default=1 << 25)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--block", type=int, default=8192)
     ap.add_argument("--sweep", action="store_true",
                     help="block-size sweep + protein bench to stderr")
     args = ap.parse_args()
@@ -119,11 +129,11 @@ def main():
     if args.sweep and jax.default_backend() == "tpu":
         for blk in (1024, 2048, 4096, 8192, 16384):
             try:
-                bench_fused(n_sites=args.sites, iters=8, block=blk)
+                bench_fused(n_sites=args.sites, iters=3, block=blk)
             except Exception as e:
                 log(f"block={blk}: {type(e).__name__}: {e}")
         try:
-            sps = bench_fused(n_sites=args.sites // 4, iters=8,
+            sps = bench_fused(n_sites=args.sites // 8, iters=3,
                               block=1024, states=20)
             log(f"protein 20-state: {sps/1e9:.3f} Gsites/s")
         except Exception as e:

@@ -107,42 +107,59 @@ class PLFConfig:
     # -- filename-as-config codec (reference parity) -------------------------
 
     def to_name(self) -> str:
-        """Serialise to a reference-style config name.
+        """Serialise to an unambiguous config-name string.
 
-        Mirrors the xclbin naming scheme ``<app>_<pl>_<aie>`` the reference
-        host parses back at runtime (include.h:41-75, README.md:94-99).
+        Plays the role of the reference's filename-as-config (the xclbin
+        name is re-parsed at runtime, include.h:41-75) with explicit
+        tokens instead of the reference's positional encoding.
         """
         st = "DNA" if self.states == 4 else f"{self.states}state"
         layout = "1inEV" if self.layout is Layout.COMBINED else "2in"
-        return (f"plf_tpu{st}{self.aie_type.value}{layout}"
-                f"_{self.backend.value}x{self.instances}"
-                f"{self.aie_type.value}{self.block_sites}")
+        return (f"plftpu_{st}_{self.aie_type.value}_{layout}"
+                f"_{self.backend.value}_inst{self.instances}"
+                f"_blk{self.block_sites}")
 
     @classmethod
     def from_name(cls, name: str, **overrides) -> "PLFConfig":
-        """Parse a reference-style config name (include.h:44-75 semantics)."""
+        """Parse a config name — ours or a reference-style xclbin name.
+
+        Reference names look like ``<app>_<pl>_128x<G><STATES><type>
+        <windowbytes><layout>`` (README.md:94-99); their window sizes are
+        BYTES and convert to sites via >>4 (include.h:156), then round to
+        the TPU lane multiple.  Both reference naming generations are
+        understood: Comb==1inEV -> COMBINED, Sep==2in -> SEPARATE
+        (include.h:52-59; SURVEY.md §2.3).
+        """
         aie_type = AieType.STREAM if "stream" in name else AieType.WINDOW
-        if "1inEV" in name:
+        if "1inEV" in name or "Comb" in name:
             layout = Layout.COMBINED
-        elif "2in" in name:
+        elif "2in" in name or "Sep" in name:
             layout = Layout.SEPARATE
         else:
             layout = Layout.SEPARATE  # reference default (include.h:58)
-        m = re.search(r"window(\d+)", name) or re.search(r"stream(\d+)", name)
-        block = int(m.group(1)) if m else 4096
-        # Reference window sizes are bytes; sites/window = bytes>>4
-        # (include.h:156).  Names written by to_name carry sites directly.
-        if m and block % 128:
-            block = max(128, (block >> 4) // 128 * 128 or 128)
+
+        mb = re.search(r"blk(\d+)", name)
+        if mb:
+            block = int(mb.group(1))
+        else:
+            mw = re.search(r"(?:window|stream)(\d\d+)", name)
+            if mw:  # reference window size in bytes -> sites (>>4)
+                sites = int(mw.group(1)) >> 4
+                block = max(128, sites // 128 * 128)
+            else:
+                block = 4096
+
         states = 4
         ms = re.search(r"(\d+)state", name)
         if ms:
             states = int(ms.group(1))
-        mi = re.search(r"x(\d+)(?:window|stream)", name)
+
+        mi = re.search(r"inst(\d+)", name) or re.search(r"128x(\d+)", name)
         instances = int(mi.group(1)) if mi else 1
+
         backend = Backend.PALLAS
         for b in Backend:
-            if b.value in name:
+            if f"_{b.value}" in name:
                 backend = b
                 break
         kw = dict(states=states, block_sites=block, instances=instances,

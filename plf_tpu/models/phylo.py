@@ -35,6 +35,8 @@ import numpy as np
 from ..config import Backend, PLFConfig
 from ..ops import layout as L
 from ..ops.plf_pallas import plf_pallas_lane_major
+from ..ops.plf_tree_pallas import (pack_branch_constants, plf_tree_pallas,
+                                   reorder_schedule, schedule_depth)
 from ..ops.plf_xla import plf_xla
 from .substitution import SubstitutionModel, branch_matrices
 from .tree import Tree
@@ -182,10 +184,71 @@ class PhyloModel:
 
         return jax.jit(traverse)
 
+    # -- fused whole-tree kernel --------------------------------------------
+
+    # Live-CLV VMEM budget for the fused kernel: depth * rows * block * 4B
+    # must stay well under ~16 MB (see plf_tree_pallas module docstring).
+    FUSED_MAX_LIVE = 48
+
+    def can_fuse(self) -> bool:
+        cfg = self.config
+        if cfg.backend is Backend.XLA:
+            return False
+        sched = reorder_schedule(self.schedule, self.tree.n_leaves)
+        depth = schedule_depth(sched, self.tree.n_leaves)
+        vmem = (depth + 2) * cfg.rows * cfg.block_sites * 4
+        return depth <= self.FUSED_MAX_LIVE and vmem < 8 * 2 ** 20
+
+    def _fused_inputs(self):
+        cfg = self.config
+        S, C = cfg.states, cfg.categories
+        sched = reorder_schedule(self.schedule, self.tree.n_leaves)
+        # _lcs/_rcs are stacked (E, rows, S) in original edge order; pack
+        # lane-dense (rows, E*S) for the tree kernel.
+        lcs = jnp.concatenate([self._lcs[e] for e in range(len(self.schedule))],
+                              axis=1)
+        rcs = jnp.concatenate([self._rcs[e] for e in range(len(self.schedule))],
+                              axis=1)
+        # Tip table per lane-major row: ttab[(a,c), s] = w[a, s] (+gap col).
+        w = self.model.w
+        wg = np.concatenate([w, w.sum(axis=1, keepdims=True)], axis=1)
+        ttab = jnp.asarray(np.repeat(wg, C, axis=0).astype(np.float32))
+        return sched, lcs, rcs, ttab
+
+    def log_likelihood_fused(self) -> TreeLikelihoodResult:
+        """Whole-tree single-kernel evaluation (no intermediate HBM CLVs)."""
+        cfg = self.config
+        sched, lcs, rcs, ttab = self._fused_inputs()
+        interpret = cfg.interpret or (jax.default_backend() != "tpu")
+        lik, sc = plf_tree_pallas(
+            self._codes, sched, lcs, rcs, self._ec, ttab, self._root_rows,
+            self.n_sites, n_leaves=self.tree.n_leaves, states=cfg.states,
+            categories=cfg.categories, block_sites=cfg.block_sites,
+            interpret=interpret, max_live=self.FUSED_MAX_LIVE)
+        n = self.n_sites
+        scaler_total = int(np.asarray(
+            jnp.sum(sc[0] * self._wgt_dev)))
+        lik_h = np.asarray(lik, dtype=np.float64)[0, :n]
+        site_ll = np.log(lik_h)
+        ll = float(np.sum(site_ll * self.wgt) + scaler_total * LOG_MINLIK)
+        return TreeLikelihoodResult(
+            log_likelihood=ll, site_log_likelihood=site_ll,
+            scaler_total=scaler_total, root_clv=None)
+
     # -- evaluation ----------------------------------------------------------
 
-    def log_likelihood(self, keep_root_clv: bool = False
-                       ) -> TreeLikelihoodResult:
+    def log_likelihood(self, keep_root_clv: bool = False,
+                       method: str = "auto") -> TreeLikelihoodResult:
+        """Evaluate the tree log-likelihood.
+
+        ``method``: "auto" uses the fused whole-tree kernel when the tree
+        fits the VMEM live-stack budget (and the per-node path otherwise),
+        "fused" forces the fused kernel, "per-node" forces the node-by-node
+        traversal (needed when the root CLV must be kept).
+        """
+        if method == "fused" or (method == "auto" and not keep_root_clv
+                                 and self.can_fuse()):
+            return self.log_likelihood_fused()
         if self._traverse is None:
             self._traverse = self._build_traverse()
         lik, scaler_total, x_root = self._traverse(

@@ -1,0 +1,289 @@
+"""Whole-tree fused Pallas kernel: the entire likelihood in one pass.
+
+The reference evaluates one PLF node per accelerator invocation, paying
+full CLV traffic (2 reads + 1 write = 192 B/site) per node — on its
+hardware that is forced by the 16 KiB AIE tile memory.  A TPU core has
+~16 MB of VMEM, which fits an entire post-order traversal's live-CLV
+stack for a site block.  This kernel exploits that:
+
+* grid over site blocks (like the single-node kernel);
+* tip CLVs are NOT materialised in HBM: leaves arrive as int32 state
+  codes (4 B/leaf/site) and are expanded to eigen-coordinate CLVs in
+  VMEM from a small lookup table;
+* the static post-order schedule is unrolled in the kernel body with a
+  Sethi-Ullman-style ordering (taller child first) to minimise the live
+  stack; every internal CLV lives only in VMEM/registers;
+* per-node underflow rescaling accumulates per-site scaler counts
+  (identical semantics/op-order to the single-node kernel, so results
+  stay bit-exact vs a node-by-node golden traversal);
+* outputs are just the per-site likelihood (pre-log fp32) and total
+  scaler counts: HBM traffic is n_leaves*4 + 8 bytes/site instead of
+  (n_nodes-1)*192 bytes/site — for a 16-taxon tree that is ~40x less.
+
+Branch constants are packed lane-dense as ``(rows, E*S)`` so VMEM holds
+them without 128-lane padding per edge.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..reference import MIN_LIKELIHOOD, TWO_TO_THE_32
+from . import layout as L
+
+__all__ = ["plf_tree_pallas", "schedule_depth", "reorder_schedule"]
+
+
+def _tile_rows(x, copies: int):
+    if copies == 1:
+        return x
+    return jnp.concatenate([x] * copies, axis=0)
+
+
+def reorder_schedule(schedule: Sequence[Tuple], n_leaves: int
+                     ) -> List[Tuple]:
+    """Reorder a post-order schedule taller-child-first (Sethi-Ullman).
+
+    Returns an equivalent post-order schedule (same nodes, dependencies
+    respected) that minimises the peak number of live intermediate CLVs.
+    Each entry is (parent, left, right, t_left, t_right) as produced by
+    Tree.schedule(); edge index = position in the ORIGINAL schedule is
+    preserved alongside as a 6th field so branch constants stay aligned.
+    """
+    children = {p: (l, r, tl, tr, e)
+                for e, (p, l, r, tl, tr) in enumerate(schedule)}
+    height = {}
+
+    def h(node):
+        if node not in children:
+            return 0
+        if node in height:
+            return height[node]
+        l, r, *_ = children[node]
+        height[node] = 1 + max(h(l), h(r))
+        return height[node]
+
+    out: List[Tuple] = []
+
+    def emit(node):
+        if node not in children:
+            return
+        l, r, tl, tr, e = children[node]
+        if h(l) >= h(r):
+            emit(l)
+            emit(r)
+        else:
+            emit(r)
+            emit(l)
+        out.append((node, l, r, tl, tr, e))
+
+    root = schedule[-1][0]
+    emit(root)
+    assert len(out) == len(schedule)
+    return out
+
+
+def schedule_depth(schedule: Sequence[Tuple], n_leaves: int) -> int:
+    """Peak live-CLV count of the (reordered) schedule."""
+    live = set()
+    peak = 0
+    for entry in schedule:
+        parent, l, r = entry[0], entry[1], entry[2]
+        live.discard(l)
+        live.discard(r)
+        live.add(parent)
+        peak = max(peak, len(live) + 1)  # +1 for in-flight temporaries
+    return peak
+
+
+def _expand_tip(code_row, ttab_ref, states: int):
+    """int32 codes (1, BS) -> (rows, BS) eigen-coordinate tip CLV.
+
+    Exact: sum of one matched table column and zeros (0*x == 0, 0+v == v
+    for the finite table values).
+    """
+    S = states
+    acc = None
+    for s in range(S + 1):
+        m = (code_row == s).astype(jnp.float32)          # (1, BS)
+        term = m * ttab_ref[:, s:s + 1]                  # (rows, BS)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _plf_node(x1, x2, lc_col, rc_col, ec_ref, valid, states, categories):
+    """One PLF node on in-VMEM operands; op order == _plf_kernel.
+
+    lc_col/rc_col: callables a -> (rows, 1) column for source state a.
+    Returns (x3, mask_int) with rescale applied under ``valid``.
+    """
+    S, C = states, categories
+    ump1 = _tile_rows(x1[0:C, :], S) * lc_col(0)
+    ump2 = _tile_rows(x2[0:C, :], S) * rc_col(0)
+    for a in range(1, S):
+        ump1 = ump1 + _tile_rows(x1[a * C:(a + 1) * C, :], S) * lc_col(a)
+        ump2 = ump2 + _tile_rows(x2[a * C:(a + 1) * C, :], S) * rc_col(a)
+    p = ump1 * ump2
+    x3 = _tile_rows(p[0:C, :], S) * ec_ref[:, 0:1]
+    for k in range(1, S):
+        x3 = x3 + _tile_rows(p[k * C:(k + 1) * C, :], S) * ec_ref[:, k:k + 1]
+    small = jnp.abs(x3) < MIN_LIKELIHOOD
+    mask = jnp.logical_and(jnp.all(small, axis=0, keepdims=True), valid)
+    x3 = jnp.where(mask, x3 * TWO_TO_THE_32, x3)
+    return x3, mask.astype(jnp.int32)
+
+
+def _tree_kernel(n_ref, codes_ref, lcs_ref, rcs_ref, ec_ref, ttab_ref,
+                 rr_ref, lik_ref, sc_ref, *, schedule, n_leaves,
+                 states, categories, block_sites):
+    S, C = states, categories
+    BS = block_sites
+    site0 = pl.program_id(0) * BS
+    idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
+    valid = idx < n_ref[0]
+
+    stack = {}
+    refcount = {}
+    for entry in schedule:
+        for ch in (entry[1], entry[2]):
+            refcount[ch] = refcount.get(ch, 0) + 1
+    scaler = jnp.zeros((1, BS), jnp.int32)
+
+    def get_child(node):
+        if node < n_leaves:
+            code_row = codes_ref[node:node + 1, :]
+            return _expand_tip(code_row, ttab_ref, S)
+        return stack[node]
+
+    for (parent, l, r, _, _, e) in schedule:
+        x1 = get_child(l)
+        x2 = get_child(r)
+        lc_col = lambda a, e=e: lcs_ref[:, e * S + a:e * S + a + 1]
+        rc_col = lambda a, e=e: rcs_ref[:, e * S + a:e * S + a + 1]
+        x3, mask = _plf_node(x1, x2, lc_col, rc_col, ec_ref, valid, S, C)
+        scaler = scaler + mask
+        stack[parent] = x3
+        for ch in (l, r):
+            refcount[ch] -= 1
+            if refcount[ch] == 0 and ch in stack:
+                del stack[ch]
+
+    root = schedule[-1][0]
+    x_root = stack[root]
+    # Per-site likelihood: sum_r root_rows[r] * x_root[r] (sequential over
+    # rows — fixed order, exact and reproducible).
+    lik = rr_ref[0:1, 0:1] * x_root[0:1, :]
+    for rrow in range(1, S * C):
+        lik = lik + rr_ref[0:1, rrow:rrow + 1] * x_root[rrow:rrow + 1, :]
+    lik_ref[...] = lik
+    sc_ref[...] = scaler
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("schedule", "n_leaves", "states", "categories",
+                     "block_sites", "interpret"))
+def _plf_tree_call(codes, lcs, rcs, ec, ttab, rr, n, *, schedule, n_leaves,
+                   states, categories, block_sites, interpret):
+    S, C = states, categories
+    rows = S * C
+    n_pad = codes.shape[-1]
+    grid = (n_pad // block_sites,)
+    n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
+    E = len(schedule)
+
+    kernel = functools.partial(
+        _tree_kernel, schedule=schedule, n_leaves=n_leaves, states=S,
+        categories=C, block_sites=block_sites)
+    lik, sc = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((n_leaves, block_sites), lambda i, n: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, E * S), lambda i, n: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, E * S), lambda i, n: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, S), lambda i, n: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, S + 1), lambda i, n: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows), lambda i, n: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_sites), lambda i, n: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_sites), lambda i, n: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=23 * rows * n_pad * E,
+            bytes_accessed=(n_leaves * 4 + 8) * n_pad,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_arr, codes, lcs, rcs, ec, ttab, rr)
+    return lik, sc
+
+
+def plf_tree_pallas(codes, schedule, lcs, rcs, ec, tip_table, root_rows,
+                    n, *, n_leaves: int, states: int = 4,
+                    categories: int = 4, block_sites: int = 1024,
+                    interpret: bool = False, max_live: int = 64):
+    """Fused whole-tree likelihood.
+
+    Args:
+      codes: (n_leaves, n_pad) int32 tip state codes (gap/ambiguous = S).
+      schedule: reordered schedule from :func:`reorder_schedule` (tuples
+        (parent, left, right, t_l, t_r, edge_index), converted internally
+        to a hashable static form).
+      lcs, rcs: (rows, E*S) lane-dense packed branch constants; columns
+        [e*S + a] hold edge e's source-state-a column (see
+        pack_branch_constants).
+      ec: (rows, S) eigenvector constants (layout.ev_to_lane_constants).
+      tip_table: (rows, S+1) fp32 per-row tip expansion table.
+      root_rows: (1, rows) fp32 root reduction vector.
+      n: valid site count.
+
+    Returns:
+      (site_lik, scaler_counts): (1, n_pad) fp32 and (1, n_pad) int32.
+    """
+    sched = tuple((int(p), int(l), int(r), 0.0, 0.0, int(e))
+                  for (p, l, r, _tl, _tr, e) in schedule)
+    depth = schedule_depth(sched, n_leaves)
+    if depth > max_live:
+        raise ValueError(
+            f"tree live-CLV depth {depth} exceeds max_live={max_live}; "
+            "use the per-node traversal for this tree")
+    return _plf_tree_call(
+        codes, lcs, rcs, ec, tip_table, root_rows, n, schedule=sched,
+        n_leaves=int(n_leaves), states=states, categories=categories,
+        block_sites=block_sites, interpret=interpret)
+
+
+def pack_branch_constants(branches, states: int = 4, categories: int = 4):
+    """Stack per-edge branch constants lane-dense: (rows, E*S).
+
+    ``branches``: iterable of (C, S, S) branch matrices in schedule-edge
+    order.  Column e*S + a of the result is
+    layout.branch_to_lane_constants(branch_e)[:, a].
+    """
+    cols = [L.branch_to_lane_constants(np.asarray(b), states, categories)
+            for b in branches]
+    return np.concatenate(cols, axis=1).astype(np.float32)

@@ -1,0 +1,140 @@
+"""IO tests: alignment parsing/encoding/pattern compression + config codec
++ timing utils."""
+
+import numpy as np
+import pytest
+
+from plf_tpu.config import AieType, Backend, Layout, PLFConfig
+from plf_tpu.io.alignment import (Alignment, compress_patterns, encode_dna,
+                                  encode_protein, parse_fasta, parse_phylip)
+from plf_tpu.utils.timing import (TimingData, bandwidth_As, bandwidth_MBs,
+                                  format_timing_table, write_csv)
+
+
+FASTA = """\
+>seq1 description here
+ACGT-ACGT
+ACGT
+>seq2
+TGCA-TGCAN
+ACG
+"""
+
+
+def test_parse_fasta_multiline():
+    names, seqs = parse_fasta(FASTA)
+    assert names == ["seq1", "seq2"]
+    assert seqs[0] == "ACGT-ACGTACGT"
+    assert len(seqs[1]) == 13
+
+
+def test_parse_phylip():
+    text = "2 8\ntaxonA ACGTACGT\ntaxonB TTTTACGT\n"
+    names, seqs = parse_phylip(text)
+    assert names == ["taxonA", "taxonB"]
+    assert seqs == ["ACGTACGT", "TTTTACGT"]
+
+
+def test_encode_dna_ambiguity():
+    codes = encode_dna(["ACGTUacgt-NRY?"])
+    expect = [0, 1, 2, 3, 3, 0, 1, 2, 3, -1, -1, -1, -1, -1]
+    np.testing.assert_array_equal(codes[0], expect)
+
+
+def test_encode_protein():
+    codes = encode_protein(["ARNDV", "wyv-X"])
+    assert codes[0, 0] == 0 and codes[0, 4] == 19
+    assert codes[1, 3] == -1 and codes[1, 4] == -1
+
+
+def test_compress_patterns_weights_sum():
+    rng = np.random.default_rng(40)
+    codes = rng.integers(0, 4, size=(5, 100)).astype(np.int8)
+    codes[:, 50:] = codes[:, :50]  # duplicate half the columns
+    pats, wgt = compress_patterns(codes)
+    assert pats.shape[1] <= 50
+    assert wgt.sum() == 100
+    # Reconstruction: every original column appears among patterns.
+    pat_set = {tuple(c) for c in pats.T}
+    for col in codes.T:
+        assert tuple(col) in pat_set
+
+
+def test_compress_patterns_likelihood_invariant():
+    """Pattern compression must not change the tree log-likelihood."""
+    from plf_tpu.config import PLFConfig
+    from plf_tpu.models import PhyloModel, jc69, random_tree
+    rng = np.random.default_rng(41)
+    tips = rng.integers(0, 4, size=(5, 64)).astype(np.int8)
+    tips[:, 32:] = tips[:, :32]
+    tree = random_tree(5, seed=2)
+    cfg = PLFConfig(block_sites=128, interpret=True)
+    full = PhyloModel(tree, jc69(), tips, config=cfg).log_likelihood()
+    pats, wgt = compress_patterns(tips)
+    comp = PhyloModel(tree, jc69(), pats, wgt=wgt,
+                      config=cfg).log_likelihood()
+    assert abs(full.log_likelihood - comp.log_likelihood) < 1e-6 * abs(
+        full.log_likelihood) + 1e-6
+
+
+def test_alignment_reorder():
+    a = Alignment(["b", "a"], np.array([[1, 2], [3, 0]], np.int8))
+    r = a.reorder(["a", "b"])
+    np.testing.assert_array_equal(r.codes, [[3, 0], [1, 2]])
+
+
+# ------------------------------------------------------------- config ------
+
+def test_config_name_roundtrip():
+    cfg = PLFConfig(states=4, block_sites=2048, instances=9,
+                    layout=Layout.COMBINED, aie_type=AieType.WINDOW)
+    name = cfg.to_name()
+    back = PLFConfig.from_name(name)
+    assert back.block_sites == 2048
+    assert back.instances == 9
+    assert back.layout is Layout.COMBINED
+    assert back.aie_type is AieType.WINDOW
+
+
+def test_config_parses_reference_style_names():
+    """Names shaped like the reference xclbins decode the same way the
+    reference host does (include.h:44-75)."""
+    cfg = PLFConfig.from_name("plf_mem4DNAwindowComb_128x9DNAwindow8192Comb")
+    assert cfg.aie_type is AieType.WINDOW
+    # 8192-byte window = 512 sites -> rounded to lane multiple
+    assert cfg.block_sites == 512
+    assert cfg.instances == 9
+    cfg2 = PLFConfig.from_name("plf_mem4DNAstream2in_128x4DNAstream")
+    assert cfg2.aie_type is AieType.STREAM
+    assert cfg2.layout is Layout.SEPARATE
+
+
+def test_config_validation():
+    with pytest.raises(ValueError):
+        PLFConfig(block_sites=100)
+    with pytest.raises(ValueError):
+        PLFConfig(states=1)
+    with pytest.raises(ValueError):
+        PLFConfig(dtype="int8")
+
+
+# ------------------------------------------------------------- timing ------
+
+def test_timing_phases_and_csv(tmp_path):
+    d = TimingData()
+    d.record(0.0, 1.0, 3.0, 3.5)
+    d.record(3.5, 4.0, 7.0, 8.0)
+    assert d.hm() == pytest.approx(1.5)
+    assert d.msm() == pytest.approx(5.0)
+    assert d.mh() == pytest.approx(1.5)
+    assert d.total() == pytest.approx(8.0)
+    assert d.max_msm() == pytest.approx(3.0)
+    assert bandwidth_MBs(1000.0, 1e9) == pytest.approx(1000.0)
+    assert bandwidth_As(2000.0, 1e6) == pytest.approx(5e5)
+    table = format_timing_table(d, 1e9, 10**6, reference_ms=100.0)
+    assert "Total execution time" in table
+    p = tmp_path / "t.csv"
+    write_csv(str(p), {"i0": d})
+    lines = p.read_text().splitlines()
+    assert lines[0] == "hm_i0,msm_i0,mh_i0"
+    assert len(lines) == 3
