@@ -55,6 +55,60 @@ class PLFEngine:
     def __init__(self, config: Optional[PLFConfig] = None):
         self.config = config or PLFConfig()
 
+    # -- geometry / config report (testbench_info + host_mem.cpp:45-101) ----
+
+    def geometry(self, n_sites: int, plf_calls: int = 1) -> dict:
+        """Buffer geometry for a workload — the testbench_info oracle
+        (include.h:150-268) recast for HBM-resident lane-major buffers."""
+        cfg = self.config
+        from .ops import layout as L
+        e = cfg.elements_per_site
+        n_pad = L.sites_padding(n_sites, cfg.block_sites)
+        clv_bytes = e * 4 * n_pad
+        scaler_bytes = 4 * n_pad
+        const_bytes = (2 * cfg.rows * cfg.states + cfg.rows * cfg.states) * 4
+        per_call = dict(
+            sites=n_sites, sites_padded=n_pad,
+            padding=n_pad - n_sites,
+            elements_per_site=e,
+            clv_bytes=clv_bytes,
+            input_bytes=2 * clv_bytes + const_bytes,
+            output_bytes=clv_bytes + scaler_bytes,
+            blocks=n_pad // cfg.block_sites,
+        )
+        per_call["hbm_bytes"] = (per_call["input_bytes"]
+                                 + per_call["output_bytes"])
+        return dict(per_call=per_call, instances=cfg.instances,
+                    plf_calls=plf_calls,
+                    total_sites=n_sites * plf_calls * cfg.instances,
+                    total_hbm_bytes=per_call["hbm_bytes"] * cfg.instances)
+
+    def describe(self, n_sites: int, plf_calls: int = 1) -> str:
+        """Reference-style config/geometry report (host_mem.cpp:45-101)."""
+        cfg = self.config
+        g = self.geometry(n_sites, plf_calls)
+        p = g["per_call"]
+        bar = "=" * 68
+        rows = [
+            bar,
+            f"| {'config name':24} | {cfg.to_name():36} |",
+            f"| {'backend':24} | {cfg.backend.value:36} |",
+            f"| {'states x categories':24} | "
+            f"{f'{cfg.states} x {cfg.categories}':36} |",
+            f"| {'block sites (window)':24} | {cfg.block_sites:36} |",
+            bar,
+            f"| {'alignment sites':24} | {n_sites:36} |",
+            f"| {'padded sites':24} | {p['sites_padded']:36} |",
+            f"| {'plf calls':24} | {plf_calls:36} |",
+            f"| {'instances':24} | {cfg.instances:36} |",
+            bar,
+            f"| {'CLV bytes (each)':24} | {p['clv_bytes']:36} |",
+            f"| {'HBM bytes per call':24} | {p['hbm_bytes']:36} |",
+            f"| {'grid blocks':24} | {p['blocks']:36} |",
+            bar,
+        ]
+        return "\n".join(rows)
+
     # -- single call ---------------------------------------------------------
 
     def plf(self, x1, x2, left, right, ev, wgt=None) -> PLFResult:

@@ -138,3 +138,27 @@ def test_timing_phases_and_csv(tmp_path):
     lines = p.read_text().splitlines()
     assert lines[0] == "hm_i0,msm_i0,mh_i0"
     assert len(lines) == 3
+
+
+def test_engine_geometry_and_describe():
+    from plf_tpu import PLFEngine, PLFConfig
+    eng = PLFEngine(PLFConfig(block_sites=1024))
+    g = eng.geometry(10_000, plf_calls=3)
+    p = g["per_call"]
+    assert p["sites_padded"] == 10240
+    assert p["padding"] == 240
+    assert p["clv_bytes"] == 16 * 4 * 10240
+    assert p["blocks"] == 10
+    table = eng.describe(10_000, plf_calls=3)
+    assert "alignment sites" in table and "10000" in table
+
+
+def test_profiling_utils():
+    from plf_tpu.utils.profiling import PhaseProfiler, throughput_report
+    prof = PhaseProfiler()
+    with prof.range("work"):
+        pass
+    rep = prof.report()
+    assert "work" in rep
+    s = throughput_report(10**9, 0.5)
+    assert "Gsites/s" in s and "roofline" in s
