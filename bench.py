@@ -123,8 +123,9 @@ def main():
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
     if jax.default_backend() != "tpu":
         # CPU fallback (interpret mode) — tiny shapes so it finishes.
-        args.sites = min(args.sites, 1 << 12)
-        args.iters = 2
+        args.sites = min(args.sites, 512)
+        args.iters = 1
+        args.block = 128
 
     if args.sweep and jax.default_backend() == "tpu":
         for blk in (1024, 2048, 4096, 8192, 16384):
@@ -138,14 +139,75 @@ def main():
             log(f"protein 20-state: {sps/1e9:.3f} Gsites/s")
         except Exception as e:
             log(f"protein: {type(e).__name__}: {e}")
+        try:
+            bench_gen(block=args.block)
+        except Exception as e:
+            log(f"gen probe: {type(e).__name__}: {e}")
+        try:
+            bench_tree(n_sites=args.sites // 8, n_leaves=16, block=1024)
+        except Exception as e:
+            log(f"tree fused: {type(e).__name__}: {e}")
 
-    sps = bench_fused(n_sites=args.sites, iters=args.iters, block=args.block)
+    sps = bench_fused(n_sites=args.sites, iters=args.iters,
+                      block=args.block)
     print(json.dumps({
         "metric": "plf_dna_sites_per_sec",
         "value": round(sps, 1),
         "unit": "sites/s",
         "vs_baseline": round(sps / BASELINE_SITES_PER_SEC, 4),
     }))
+
+
+def bench_gen(block=8192, n_blocks=256, inner_iters=8, reps=3):
+    """Compute-only kernel rate (no CLV HBM traffic) — host_gen parity."""
+    import jax.numpy as jnp
+    from plf_tpu.ops import layout as L
+    from plf_tpu.ops.plf_pallas import plf_pallas_gen
+    rng = np.random.default_rng(0)
+    lc = jnp.asarray(L.branch_to_lane_constants(
+        rng.random((4, 4, 4), np.float32)))
+    rc = jnp.asarray(L.branch_to_lane_constants(
+        rng.random((4, 4, 4), np.float32)))
+    ec = jnp.asarray(L.ev_to_lane_constants(rng.random((4, 4), np.float32)))
+
+    def run():
+        out = plf_pallas_gen(lc, rc, ec, block_sites=block,
+                             n_blocks=n_blocks, inner_iters=inner_iters)
+        return float(np.asarray(out[0, :8]).sum())
+
+    run()
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    node_sites = block * n_blocks * inner_iters
+    log(f"gen probe (compute-only): {node_sites/best/1e9:.3f} Gnode-sites/s "
+        f"({node_sites/best*368/1e12:.2f} TFLOP/s fp32 equivalent)")
+    return node_sites / best
+
+
+def bench_tree(n_sites, n_leaves, block, reps=3):
+    """Fused whole-tree kernel throughput."""
+    from plf_tpu.config import PLFConfig
+    from plf_tpu.models import PhyloModel, hky85, random_tree
+    tree = random_tree(n_leaves, seed=1)
+    rng = np.random.default_rng(0)
+    npad = ((n_sites + block - 1) // block) * block
+    tips = rng.integers(0, 4, size=(n_leaves, npad))
+    pm = PhyloModel(tree, hky85(2.0), tips, alpha=0.5,
+                    config=PLFConfig(block_sites=block))
+    pm.log_likelihood(method="fused")
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        pm.log_likelihood(method="fused")
+        best = min(best, time.perf_counter() - t0)
+    nodes = len(pm.schedule)
+    log(f"tree fused ({n_leaves} taxa, {nodes} nodes, {npad} sites): "
+        f"{npad/best/1e9:.3f} Gsites/s tree-evals, "
+        f"{npad*nodes/best/1e9:.3f} Gnode-sites/s")
+    return npad * nodes / best
 
 
 if __name__ == "__main__":

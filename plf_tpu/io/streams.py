@@ -1,0 +1,159 @@
+"""Reference PLIO stream codec: window/stream beat formats.
+
+The reference PL data movers serialise each accelerator instance's input
+as four 128-bit lane streams (4 fp32/beat).  Two disciplines exist:
+
+* **window** (mm2sleft_memDNAwindowComb.cpp:50-97): per 64-site window,
+  each lane re-receives [EV-half (2 beats) | transposed branch block
+  (4 beats)] then one data beat per site; the left mover sends EV rows
+  0-1, the right mover rows 2-3 (reassembled by the AIE combine kernel).
+* **stream** (mm2sleft_memDNAstreamComb.cpp:44-114): one count beat
+  (site count + padding encoded AS FLOAT), one header, then all data;
+  a zero site is appended when the count is odd ("read per 2 in AIE").
+
+This codec reads/writes those exact formats so plf_tpu can consume or
+produce reference-compatible test vectors and data dumps (it is also how
+tests/test_reference.py validates against aie/data fixtures).  SEPARATE
+layout moves branch/EV to dedicated streams (mm2sleft_memDNAwindowSep).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+__all__ = ["encode_window_lanes", "decode_window_lanes",
+           "encode_stream_lanes", "decode_stream_lanes"]
+
+
+def _lane_data(clv: np.ndarray, lane: int) -> np.ndarray:
+    """(n, C, S) site-major CLV -> lane ``c``'s (n, S) data beats.
+
+    The PL splits each 512-bit site record so lane c carries rate
+    category c's four floats (mm2sleft_memDNAwindowComb.cpp:86-96).
+    """
+    return np.ascontiguousarray(clv[:, lane, :].astype(np.float32))
+
+
+def _branch_t(branch: np.ndarray, lane: int) -> np.ndarray:
+    """Transposed branch block for lane c (transpose.cpp:6-24):
+    beat a, float k = branch[c, k, a]."""
+    return np.ascontiguousarray(branch[lane].T.astype(np.float32))
+
+
+def encode_window_lanes(ev, left, right, x1, x2, window_sites: int = 64
+                        ) -> Dict[str, List[np.ndarray]]:
+    """Encode inputs as window-mode COMBINED lane streams.
+
+    Returns {"left": [4 x (beats, 4)], "right": [...]}; site count is
+    zero-padded up to a window multiple (the mm2s zero-fill of the last
+    partial window, mm2sleft_uint128x4window1in.cpp:85-92).
+    """
+    ev = np.asarray(ev, np.float32).reshape(4, 4)
+    left = np.asarray(left, np.float32).reshape(4, 4, 4)
+    right = np.asarray(right, np.float32).reshape(4, 4, 4)
+    x1 = np.asarray(x1, np.float32).reshape(-1, 4, 4)
+    x2 = np.asarray(x2, np.float32).reshape(-1, 4, 4)
+    n = x1.shape[0]
+    n_pad = -(-n // window_sites) * window_sites
+    pad = n_pad - n
+    if pad:
+        z = np.zeros((pad, 4, 4), np.float32)
+        x1 = np.concatenate([x1, z])
+        x2 = np.concatenate([x2, z])
+
+    out = {"left": [], "right": []}
+    for side, branch, clv, ev_half in (
+            ("left", left, x1, ev[0:2]), ("right", right, x2, ev[2:4])):
+        for lane in range(4):
+            beats = []
+            data = _lane_data(clv, lane)
+            bt = _branch_t(branch, lane)
+            for w in range(n_pad // window_sites):
+                beats.append(ev_half)
+                beats.append(bt)
+                beats.append(data[w * window_sites:(w + 1) * window_sites])
+            out[side].append(np.concatenate(beats, axis=0))
+    return out
+
+
+def decode_window_lanes(lanes: Dict[str, List[np.ndarray]],
+                        window_sites: int = 64, n_sites: int | None = None
+                        ) -> Tuple[np.ndarray, ...]:
+    """Inverse of encode_window_lanes -> (ev, left, right, x1, x2)."""
+    beats_per_window = 6 + window_sites
+    ev_halves = {}
+    branches = {}
+    datas = {}
+    for side in ("left", "right"):
+        lane_datas = []
+        for lane, beats in enumerate(lanes[side]):
+            n_windows = beats.shape[0] // beats_per_window
+            ev_halves[side] = beats[0:2]
+            bt = beats[2:6]
+            branches.setdefault(side, []).append(bt.T)
+            chunks = [beats[w * beats_per_window + 6:
+                            (w + 1) * beats_per_window]
+                      for w in range(n_windows)]
+            lane_datas.append(np.concatenate(chunks, axis=0))
+        datas[side] = np.stack(lane_datas, axis=1)  # (n_pad, 4, 4)
+    ev = np.concatenate([ev_halves["left"], ev_halves["right"]], axis=0)
+    left = np.stack(branches["left"])
+    right = np.stack(branches["right"])
+    x1, x2 = datas["left"], datas["right"]
+    if n_sites is not None:
+        x1, x2 = x1[:n_sites], x2[:n_sites]
+    return ev, left, right, x1, x2
+
+
+def encode_stream_lanes(ev, left, right, x1, x2
+                        ) -> Dict[str, List[np.ndarray]]:
+    """Encode inputs as stream-mode COMBINED lane streams.
+
+    Beat 0 carries ``n + padding`` encoded as float
+    (mm2sleft_memDNAstreamComb.cpp:47-58); one zero site is appended
+    when n is odd (the AIE reads 2 sites/iteration, lines 44-45,107-114).
+    """
+    ev = np.asarray(ev, np.float32).reshape(4, 4)
+    left = np.asarray(left, np.float32).reshape(4, 4, 4)
+    right = np.asarray(right, np.float32).reshape(4, 4, 4)
+    x1 = np.asarray(x1, np.float32).reshape(-1, 4, 4)
+    x2 = np.asarray(x2, np.float32).reshape(-1, 4, 4)
+    n = x1.shape[0]
+    padding = n & 1
+    if padding:
+        z = np.zeros((1, 4, 4), np.float32)
+        x1 = np.concatenate([x1, z])
+        x2 = np.concatenate([x2, z])
+    count_beat = np.array([[np.float32(n + padding), 0, 0, 0]], np.float32)
+
+    out = {"left": [], "right": []}
+    for side, branch, clv, ev_half in (
+            ("left", left, x1, ev[0:2]), ("right", right, x2, ev[2:4])):
+        for lane in range(4):
+            beats = [count_beat, ev_half, _branch_t(branch, lane),
+                     _lane_data(clv, lane)]
+            out[side].append(np.concatenate(beats, axis=0))
+    return out
+
+
+def decode_stream_lanes(lanes: Dict[str, List[np.ndarray]]
+                        ) -> Tuple[np.ndarray, ...]:
+    """Inverse of encode_stream_lanes -> (ev, left, right, x1, x2, n)."""
+    ev_halves = {}
+    branches = {}
+    datas = {}
+    declared = None
+    for side in ("left", "right"):
+        lane_datas = []
+        for beats in lanes[side]:
+            declared = int(beats[0, 0])
+            ev_halves[side] = beats[1:3]
+            branches.setdefault(side, []).append(beats[3:7].T)
+            lane_datas.append(beats[7:7 + declared])
+        datas[side] = np.stack(lane_datas, axis=1)
+    ev = np.concatenate([ev_halves["left"], ev_halves["right"]], axis=0)
+    left = np.stack(branches["left"])
+    right = np.stack(branches["right"])
+    return ev, left, right, datas["left"], datas["right"], declared

@@ -69,8 +69,10 @@ def _plf_kernel(n_ref, x1_ref, x2_ref, lc_ref, rc_ref, ec_ref,
     S, C = states, categories
     BS = block_sites
 
-    x1 = x1_ref[...]
-    x2 = x2_ref[...]
+    # bf16 fast mode: CLVs may be stored bf16 in HBM (half the bandwidth
+    # of the exact fp32 mode); arithmetic is always fp32 in VMEM.
+    x1 = x1_ref[...].astype(jnp.float32)
+    x2 = x2_ref[...].astype(jnp.float32)
 
     # Stage 1: branch products, sequential fp32 accumulation over source
     # state a (matches plf.cpp:35-39 order; 0.0+x == x exactly in IEEE).
@@ -95,7 +97,8 @@ def _plf_kernel(n_ref, x1_ref, x2_ref, lc_ref, rc_ref, ec_ref,
     idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
     valid = idx < n_ref[0]
     mask = jnp.logical_and(mask, valid)
-    x3_ref[...] = jnp.where(mask, x3 * TWO_TO_THE_32, x3)
+    x3_ref[...] = jnp.where(mask, x3 * TWO_TO_THE_32, x3).astype(
+        x3_ref.dtype)
     sc_ref[...] = mask.astype(jnp.int32)
 
 
@@ -126,6 +129,7 @@ def plf_pallas_lane_major(x1, x2, lc, rc, ec, n, *, states: int = 4,
         raise ValueError(f"n_pad={n_pad} not a multiple of {block_sites}")
     grid = (n_pad // block_sites,)
     n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
+    io_dtype = x1.dtype  # fp32 (exact) or bf16 (fast mode)
 
     # Index maps receive (grid_idx, *scalar_prefetch_refs).
     block = pl.BlockSpec((rows, block_sites), lambda i, n: (0, i),
@@ -148,7 +152,7 @@ def plf_pallas_lane_major(x1, x2, lc, rc, ec, n, *, states: int = 4,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((rows, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((rows, n_pad), io_dtype),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -188,3 +192,60 @@ def plf_pallas(x1, x2, left, right, ev, wgt, *, states: int = 4,
     scaler_vector = scaler[0, :n]
     scaler_increment = jnp.sum(scaler_vector * jnp.asarray(wgt, jnp.int32))
     return x3, scaler_vector, scaler_increment
+
+
+def _gen_kernel(lc_ref, rc_ref, ec_ref, out_ref, *, states, categories,
+                block_sites, inner_iters):
+    """Compute-only probe: synthesize CLVs in VMEM, run the PLF stages,
+    emit a per-site checksum.  No HBM CLV traffic — measures the pure
+    kernel compute rate (the host_gen / gen-PL-kernel analogue,
+    app/src/host_gen.cpp:72-160)."""
+    S, C = states, categories
+    rows = S * C
+    BS = block_sites
+    base = jax.lax.broadcasted_iota(jnp.float32, (rows, BS), 1) * 1e-4
+    rowf = jax.lax.broadcasted_iota(jnp.float32, (rows, BS), 0) * 0.05
+    x1 = 0.1 + base + rowf
+    x2 = 1.0 - base * 0.5 + rowf * 0.25
+    acc = jnp.zeros((1, BS), jnp.float32)
+    for _ in range(inner_iters):
+        ump1 = _tile_rows(x1[0:C, :], S) * lc_ref[:, 0:1]
+        ump2 = _tile_rows(x2[0:C, :], S) * rc_ref[:, 0:1]
+        for a in range(1, S):
+            ump1 = ump1 + _tile_rows(x1[a * C:(a + 1) * C, :], S) * lc_ref[:, a:a + 1]
+            ump2 = ump2 + _tile_rows(x2[a * C:(a + 1) * C, :], S) * rc_ref[:, a:a + 1]
+        p = ump1 * ump2
+        x3 = _tile_rows(p[0:C, :], S) * ec_ref[:, 0:1]
+        for k in range(1, S):
+            x3 = x3 + _tile_rows(p[k * C:(k + 1) * C, :], S) * ec_ref[:, k:k + 1]
+        acc = acc + jnp.sum(x3, axis=0, keepdims=True)
+        x1 = x3  # chain so iterations can't be elided
+    out_ref[...] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("states", "categories", "block_sites", "n_blocks",
+                     "inner_iters", "interpret"))
+def plf_pallas_gen(lc, rc, ec, *, states: int = 4, categories: int = 4,
+                   block_sites: int = 4096, n_blocks: int = 64,
+                   inner_iters: int = 8, interpret: bool = False):
+    """Compute-only PLF probe: `n_blocks * block_sites * inner_iters`
+    node-site evaluations with zero CLV HBM traffic.  Returns the (1,
+    n_blocks*block_sites) checksum array."""
+    rows = states * categories
+    kernel = functools.partial(
+        _gen_kernel, states=states, categories=categories,
+        block_sites=block_sites, inner_iters=inner_iters)
+    const = pl.BlockSpec((rows, states), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[const, const, const],
+        out_specs=pl.BlockSpec((1, block_sites), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_blocks * block_sites),
+                                       jnp.float32),
+        interpret=interpret,
+    )(lc, rc, ec)

@@ -182,3 +182,39 @@ def test_engine_multi_instance():
         ref = plf_reference(*c)
         assert_clv_match(out.x3[i], ref[0])
         assert int(out.scaler_increment[i]) == ref[2]
+
+
+def test_pallas_bf16_fast_mode():
+    """bf16 CLV storage: not exact, but within bf16 tolerance of golden."""
+    import jax.numpy as jnp
+    from plf_tpu.ops import layout as L
+    from plf_tpu.ops.plf_pallas import plf_pallas_lane_major
+    rng = np.random.default_rng(60)
+    case = make_random_case(rng, 256, underflow=False)
+    x1, x2, left, right, ev, wgt = case
+    ref = plf_reference(*case)
+    x1l = jnp.asarray(L.pad_to_multiple(L.to_lane_major(x1), BLOCK),
+                      jnp.bfloat16)
+    x2l = jnp.asarray(L.pad_to_multiple(L.to_lane_major(x2), BLOCK),
+                      jnp.bfloat16)
+    lc = jnp.asarray(L.branch_to_lane_constants(left))
+    rc = jnp.asarray(L.branch_to_lane_constants(right))
+    ec = jnp.asarray(L.ev_to_lane_constants(ev))
+    x3l, sc = plf_pallas_lane_major(x1l, x2l, lc, rc, ec, 256,
+                                    block_sites=BLOCK, interpret=True)
+    assert x3l.dtype == jnp.bfloat16
+    got = np.asarray(L.from_lane_major(x3l.astype(jnp.float32), n=256))
+    np.testing.assert_allclose(got, ref[0], rtol=0.05, atol=0.02)
+
+
+def test_pallas_gen_compute_probe():
+    from plf_tpu.ops import layout as L
+    from plf_tpu.ops.plf_pallas import plf_pallas_gen
+    rng = np.random.default_rng(61)
+    lc = L.branch_to_lane_constants(rng.random((4, 4, 4), np.float32))
+    rc = L.branch_to_lane_constants(rng.random((4, 4, 4), np.float32))
+    ec = L.ev_to_lane_constants(rng.random((4, 4), np.float32))
+    out = plf_pallas_gen(lc, rc, ec, block_sites=128, n_blocks=2,
+                         inner_iters=2, interpret=True)
+    assert out.shape == (1, 256)
+    assert np.isfinite(np.asarray(out)).all()

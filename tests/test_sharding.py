@@ -93,3 +93,24 @@ def test_padded_sites_policy(mesh):
     assert sp.padded_sites(1) == 8 * BLOCK
     assert sp.padded_sites(8 * BLOCK) == 8 * BLOCK
     assert sp.padded_sites(8 * BLOCK + 1) == 16 * BLOCK
+
+
+def test_distributed_helpers(mesh):
+    from plf_tpu.parallel import (global_site_mesh, process_summary,
+                                  validate_site_workload)
+    m = global_site_mesh()
+    assert m.shape["sites"] == 8
+    validate_site_workload(m, 10_000, 128)
+    with pytest.raises(ValueError):
+        validate_site_workload(m, 10_000, 100)    # bad block
+    with pytest.raises(ValueError):
+        validate_site_workload(m, 100, 128)       # too few sites/device
+    with pytest.raises(ValueError):
+        validate_site_workload(m, 10_000, 128, axis="nope")
+    s = process_summary()
+    assert "devices" in s
+
+
+def test_initialize_distributed_single_host_noop():
+    from plf_tpu.parallel import initialize_distributed
+    assert initialize_distributed(num_processes=1) is False

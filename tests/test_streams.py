@@ -1,0 +1,82 @@
+"""PLIO stream codec tests: round trips + agreement with the reference's
+checked-in fixture files."""
+
+import numpy as np
+import pytest
+
+from plf_tpu.io import fixtures
+from plf_tpu.io.streams import (decode_stream_lanes, decode_window_lanes,
+                                encode_stream_lanes, encode_window_lanes)
+from tests.conftest import make_random_case
+
+
+def test_window_roundtrip_exact_multiple():
+    rng = np.random.default_rng(50)
+    x1, x2, left, right, ev, _ = make_random_case(rng, 128)
+    lanes = encode_window_lanes(ev, left, right, x1, x2)
+    ev2, l2, r2, x1b, x2b = decode_window_lanes(lanes, n_sites=128)
+    np.testing.assert_array_equal(ev2, ev)
+    np.testing.assert_array_equal(l2, left)
+    np.testing.assert_array_equal(r2, right)
+    np.testing.assert_array_equal(x1b, x1)
+    np.testing.assert_array_equal(x2b, x2)
+
+
+def test_window_roundtrip_partial_window_zero_fill():
+    rng = np.random.default_rng(51)
+    x1, x2, left, right, ev, _ = make_random_case(rng, 70)
+    lanes = encode_window_lanes(ev, left, right, x1, x2)
+    # 70 sites -> 2 windows of 64, zero-filled
+    assert lanes["left"][0].shape[0] == 2 * (6 + 64)
+    ev2, l2, r2, x1b, x2b = decode_window_lanes(lanes, n_sites=70)
+    np.testing.assert_array_equal(x1b, x1)
+    # padding sites are zero
+    _, _, _, full1, _ = decode_window_lanes(lanes)
+    assert np.all(full1[70:] == 0)
+
+
+def test_stream_roundtrip_odd_padding():
+    rng = np.random.default_rng(52)
+    x1, x2, left, right, ev, _ = make_random_case(rng, 65)
+    lanes = encode_stream_lanes(ev, left, right, x1, x2)
+    # count beat declares n+padding = 66 as float
+    assert lanes["left"][0][0, 0] == np.float32(66)
+    ev2, l2, r2, x1b, x2b, n = decode_stream_lanes(lanes)
+    assert n == 66
+    np.testing.assert_array_equal(x1b[:65], x1)
+    assert np.all(x1b[65] == 0)
+    np.testing.assert_array_equal(l2, left)
+
+
+needs_fixtures = pytest.mark.skipif(
+    not fixtures.reference_fixtures_available(),
+    reason="reference aie/data fixtures not mounted")
+
+
+@needs_fixtures
+def test_encoder_reproduces_reference_window_fixtures():
+    """Re-encoding the decoded fixture case must reproduce the exact
+    header beats of the checked-in aie/data files."""
+    v = fixtures.load_window_vectors()
+    lanes = encode_window_lanes(v.ev, v.left, v.right, v.x1, v.x2)
+    for lane in range(4):
+        ref_beats = fixtures.load_beats(
+            f"{fixtures.REFERENCE_DATA_DIR}/inputcombinedevleft{lane}.txt")
+        got = lanes["left"][lane]
+        # header: EV half + transposed branch
+        np.testing.assert_allclose(got[0:6], ref_beats[0:6], atol=5e-7)
+        # first window of data beats
+        np.testing.assert_allclose(got[6:6 + 64], ref_beats[6:6 + 64],
+                                   atol=5e-7)
+
+
+@needs_fixtures
+def test_encoder_reproduces_reference_stream_fixtures():
+    v = fixtures.load_stream_vectors()
+    lanes = encode_stream_lanes(v.ev, v.left, v.right, v.x1, v.x2)
+    sdir = f"{fixtures.REFERENCE_DATA_DIR}/stream"
+    for lane in range(4):
+        ref_beats = fixtures.load_beats(
+            f"{sdir}/inputcombinedevright{lane}.txt")
+        got = lanes["right"][lane]
+        np.testing.assert_allclose(got[0:7], ref_beats[0:7], atol=5e-7)
