@@ -1,0 +1,160 @@
+"""plf_tpu CLI — the host_mem.exe equivalent.
+
+The reference's primary entry point is
+``host_mem.exe <xclbin> <BDF> <alignment_sites> <plf_calls> <instances>``
+(app/src/host_mem.cpp:13-14): print the config/geometry report, generate
+random inputs with a forced-underflow pattern, run the benchmark loop,
+verify against the CPU golden model, and print timing/bandwidth tables.
+
+TPU equivalent::
+
+    python -m plf_tpu [config-name] --sites N --calls K --instances I
+                      [--no-verify] [--csv out.csv] [--gen]
+
+The positional config-name plays the xclbin-filename role and is parsed
+with the same semantics (config.PLFConfig.from_name); ``--gen`` runs the
+compute-only probe instead (the host_gen flavor).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def make_data(n, states, categories, seed=7):
+    """Random inputs incl. the reference's forced-underflow pattern
+    (host_mem.cpp:179-209: scale=1e-12 for element index j%64<16)."""
+    rng = np.random.default_rng(seed)
+    S, C = states, categories
+    e = S * C
+    x1 = rng.random((n * e,), dtype=np.float32)
+    j = np.arange(n * e)
+    x1 = np.where(j % (4 * e) < e, x1 * np.float32(1e-12), x1)
+    x2 = rng.random((n * e,), dtype=np.float32)
+    ev = rng.random((S, S), dtype=np.float32)
+    left = rng.random((C, S, S), dtype=np.float32)
+    right = rng.random((C, S, S), dtype=np.float32)
+    wgt = np.ones((n,), dtype=np.int32)
+    return (x1.reshape(n, C, S), x2.reshape(n, C, S), left, right, ev, wgt)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="python -m plf_tpu")
+    ap.add_argument("config", nargs="?", default=None,
+                    help="config name (xclbin-filename analogue)")
+    ap.add_argument("--sites", type=int, default=100_000)
+    ap.add_argument("--calls", type=int, default=10)
+    ap.add_argument("--instances", type=int, default=1)
+    ap.add_argument("--block", type=int, default=None)
+    ap.add_argument("--no-verify", action="store_true",
+                    help="skip golden check (NO_CORRECTNESS_CHECK knob, "
+                         "Makefile:156-158)")
+    ap.add_argument("--csv", default=None,
+                    help="write per-call phase timings CSV")
+    ap.add_argument("--gen", action="store_true",
+                    help="compute-only probe (host_gen flavor)")
+    args = ap.parse_args(argv)
+
+    from .config import PLFConfig
+    from .engine import PLFEngine
+    from .runtime.executor import StreamingExecutor
+    from .utils.timing import format_timing_table, write_csv
+
+    if args.config:
+        cfg = PLFConfig.from_name(args.config,
+                                  instances=args.instances)
+    else:
+        cfg = PLFConfig(instances=args.instances)
+    if args.block:
+        cfg = __import__("dataclasses").replace(cfg,
+                                                block_sites=args.block)
+    import jax
+    if jax.default_backend() != "tpu":
+        cfg = __import__("dataclasses").replace(cfg, interpret=True)
+        args.sites = min(args.sites, 2048)
+
+    eng = PLFEngine(cfg)
+    log(eng.describe(args.sites, args.calls))
+    log(f"devices: {jax.devices()}")
+
+    if args.gen:
+        from .ops import layout as L
+        from .ops.plf_pallas import plf_pallas_gen
+        rng = np.random.default_rng(0)
+        lc = L.branch_to_lane_constants(
+            rng.random((cfg.categories, cfg.states, cfg.states),
+                       np.float32), cfg.states, cfg.categories)
+        rc = L.branch_to_lane_constants(
+            rng.random((cfg.categories, cfg.states, cfg.states),
+                       np.float32), cfg.states, cfg.categories)
+        ec = L.ev_to_lane_constants(
+            rng.random((cfg.states, cfg.states), np.float32),
+            cfg.states, cfg.categories)
+        import jax.numpy as jnp
+        nb = max(1, args.sites // cfg.block_sites)
+        t0 = time.perf_counter()
+        for _ in range(args.calls):
+            out = plf_pallas_gen(
+                jnp.asarray(lc), jnp.asarray(rc), jnp.asarray(ec),
+                states=cfg.states, categories=cfg.categories,
+                block_sites=cfg.block_sites, n_blocks=nb,
+                interpret=cfg.interpret)
+            float(np.asarray(out[0, :8]).sum())
+        dt = time.perf_counter() - t0
+        ns = nb * cfg.block_sites * 8 * args.calls
+        log(f"gen probe: {ns/dt/1e9:.3f} Gnode-sites/s")
+        return 0
+
+    log("Initialize test data ...")
+    case = make_data(args.sites, cfg.states, cfg.categories)
+    log("Running ...")
+    ex = StreamingExecutor(cfg, inflight=2)
+    result = None
+    for result in ex.run(case for _ in range(args.calls)):
+        pass
+    x3, inc = result
+
+    ok = True
+    if not args.no_verify:
+        log("Data collected, checking for correctness ...")
+        from .runtime.native import plf_golden_native
+        x3_ref, sv_ref, inc_ref = plf_golden_native(
+            *case[:5], case[5], states=cfg.states,
+            categories=cfg.categories)
+        exact = jax.default_backend() == "tpu"
+        got = np.asarray(x3).reshape(x3_ref.shape)
+        if exact:
+            neq = got != x3_ref
+        else:
+            neq = np.abs(got - x3_ref) > np.abs(x3_ref) * 5e-7 + 1e-37
+        errors = int(neq.sum())
+        for site, c, a in np.argwhere(neq)[:20]:
+            log(f"ERROR: alignment data wrong at alignment {site}, "
+                f"probability {c * cfg.states + a}: "
+                f"{x3_ref[site, c, a]}!={got[site, c, a]}")
+        if inc != inc_ref:
+            log(f"ERROR: scalerIncrement wrong: {inc_ref}!={inc}")
+            errors += 1
+        ok = errors == 0
+        log(f"Test result: {'Passed' if ok else f'Failed with {errors} errors'}")
+
+    e = cfg.elements_per_site
+    data_bytes = float(args.sites) * e * 4 * 3 * args.calls
+    log(format_timing_table(ex.timing, data_bytes,
+                            args.sites * args.calls))
+    if args.csv:
+        write_csv(args.csv, {"i0": ex.timing})
+        log(f"wrote {args.csv}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -162,3 +162,20 @@ def test_profiling_utils():
     assert "work" in rep
     s = throughput_report(10**9, 0.5)
     assert "Gsites/s" in s and "roofline" in s
+
+
+def test_cli_host_mem_equivalent(tmp_path):
+    """python -m plf_tpu end-to-end: report, run, verify, timing, CSV."""
+    from plf_tpu.__main__ import main
+    csv_path = str(tmp_path / "runs.csv")
+    rc = main(["--sites", "600", "--calls", "2", "--csv", csv_path])
+    assert rc == 0
+    lines = open(csv_path).read().splitlines()
+    assert lines[0] == "hm_i0,msm_i0,mh_i0"
+    assert len(lines) == 3
+
+
+def test_cli_gen_probe():
+    from plf_tpu.__main__ import main
+    rc = main(["--gen", "--sites", "256", "--calls", "1", "--block", "128"])
+    assert rc == 0
