@@ -36,6 +36,7 @@ from ..config import Backend, PLFConfig
 from ..ops import layout as L
 from ..ops.plf_pallas import plf_pallas_lane_major
 from ..ops.plf_tree_pallas import (pack_branch_constants, plf_tree_pallas,
+                                   plf_tree_pallas_dynamic,
                                    reorder_schedule, schedule_depth)
 from ..ops.plf_xla import plf_xla
 from .substitution import SubstitutionModel, branch_matrices
@@ -215,16 +216,33 @@ class PhyloModel:
         ttab = jnp.asarray(np.repeat(wg, C, axis=0).astype(np.float32))
         return sched, lcs, rcs, ttab
 
+    # Unrolled-kernel node budget: above this, the register-machine
+    # (fori_loop) variant compiles in O(1) instead of O(nodes).
+    FUSED_UNROLL_MAX_NODES = 96
+
     def log_likelihood_fused(self) -> TreeLikelihoodResult:
-        """Whole-tree single-kernel evaluation (no intermediate HBM CLVs)."""
+        """Whole-tree single-kernel evaluation (no intermediate HBM CLVs).
+
+        Small trees use the unrolled static kernel; larger trees the
+        dynamic register-machine kernel (plf_tree_pallas_dynamic).
+        """
         cfg = self.config
         sched, lcs, rcs, ttab = self._fused_inputs()
         interpret = cfg.interpret or (jax.default_backend() != "tpu")
-        lik, sc = plf_tree_pallas(
-            self._codes, sched, lcs, rcs, self._ec, ttab, self._root_rows,
-            self.n_sites, n_leaves=self.tree.n_leaves, states=cfg.states,
-            categories=cfg.categories, block_sites=cfg.block_sites,
-            interpret=interpret, max_live=self.FUSED_MAX_LIVE)
+        if len(sched) <= self.FUSED_UNROLL_MAX_NODES:
+            lik, sc = plf_tree_pallas(
+                self._codes, sched, lcs, rcs, self._ec, ttab,
+                self._root_rows, self.n_sites,
+                n_leaves=self.tree.n_leaves, states=cfg.states,
+                categories=cfg.categories, block_sites=cfg.block_sites,
+                interpret=interpret, max_live=self.FUSED_MAX_LIVE)
+        else:
+            lik, sc = plf_tree_pallas_dynamic(
+                self._codes, sched, lcs, rcs, self._ec, ttab,
+                self._root_rows, self.n_sites,
+                n_leaves=self.tree.n_leaves, states=cfg.states,
+                categories=cfg.categories, block_sites=cfg.block_sites,
+                interpret=interpret)
         n = self.n_sites
         scaler_total = int(np.asarray(
             jnp.sum(sc[0] * self._wgt_dev)))

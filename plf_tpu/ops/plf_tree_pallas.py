@@ -38,7 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 from ..reference import MIN_LIKELIHOOD, TWO_TO_THE_32
 from . import layout as L
 
-__all__ = ["plf_tree_pallas", "schedule_depth", "reorder_schedule"]
+__all__ = ["plf_tree_pallas", "plf_tree_pallas_dynamic", "schedule_depth",
+           "reorder_schedule", "compile_register_schedule",
+           "pack_branch_constants"]
 
 
 def _tile_rows(x, copies: int):
@@ -274,6 +276,198 @@ def plf_tree_pallas(codes, schedule, lcs, rcs, ec, tip_table, root_rows,
     return _plf_tree_call(
         codes, lcs, rcs, ec, tip_table, root_rows, n, schedule=sched,
         n_leaves=int(n_leaves), states=states, categories=categories,
+        block_sites=block_sites, interpret=interpret)
+
+
+# --------------------------------------------------------------------------
+# Dynamic-schedule variant: arbitrary tree sizes, O(1) compile cost.
+#
+# The static kernel above unrolls the schedule into the kernel body —
+# ideal for small trees but compile time grows with node count.  This
+# variant is a register machine: the schedule is lowered to int32 arrays
+# (operand source + leaf/slot flag + destination slot) prefetched into
+# SMEM, a VMEM arena holds the live CLV slots, and a fori_loop executes
+# one PLF node per iteration with dynamically indexed arena reads/writes.
+# Slot assignment is done on the host with immediate free-after-use, so
+# the arena size equals the schedule's peak live-CLV count (O(log taxa)
+# after taller-child-first reordering).
+# --------------------------------------------------------------------------
+
+
+def compile_register_schedule(schedule: Sequence[Tuple], n_leaves: int):
+    """Lower a (reordered) schedule to register-machine arrays.
+
+    Returns (lsrc, lflag, rsrc, rflag, oslot, edge, n_slots): int32
+    arrays of length E.  flag==0 means the operand is leaf code row
+    ``src``; flag==1 means arena slot ``src``.  ``edge`` is the original
+    edge index (for branch-constant lookup).
+    """
+    slot_of = {}
+    free: List[int] = []
+    n_slots = 0
+    lsrc, lflag, rsrc, rflag, oslot, eidx = [], [], [], [], [], []
+
+    def operand(node):
+        if node < n_leaves:
+            return node, 0
+        return slot_of[node], 1
+
+    def release(node):
+        if node >= n_leaves:
+            free.append(slot_of.pop(node))
+
+    def alloc():
+        nonlocal n_slots
+        if free:
+            return free.pop()
+        n_slots += 1
+        return n_slots - 1
+
+    for entry in schedule:
+        parent, l, r, e = entry[0], entry[1], entry[2], entry[5]
+        ls, lf = operand(l)
+        rs, rf = operand(r)
+        release(l)
+        release(r)
+        out = alloc()
+        slot_of[parent] = out
+        lsrc.append(ls)
+        lflag.append(lf)
+        rsrc.append(rs)
+        rflag.append(rf)
+        oslot.append(out)
+        eidx.append(e)
+    root_slot = oslot[-1]
+    arrs = tuple(np.asarray(a, np.int32)
+                 for a in (lsrc, lflag, rsrc, rflag, oslot, eidx))
+    return arrs, n_slots, root_slot
+
+
+def _tree_kernel_dynamic(n_ref, lsrc_ref, lflag_ref, rsrc_ref, rflag_ref,
+                         oslot_ref, eidx_ref, codes_ref, lcs_ref, rcs_ref,
+                         ec_ref, ttab_ref, rr_ref, lik_ref, sc_ref,
+                         arena_ref, *, n_edges, n_leaves, root_slot,
+                         states, categories, block_sites):
+    S, C = states, categories
+    rows = S * C
+    BS = block_sites
+    site0 = pl.program_id(0) * BS
+    idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
+    valid = idx < n_ref[0]
+
+    def fetch(src, flag):
+        def from_tip():
+            code_row = codes_ref[pl.ds(src, 1), :]
+            return _expand_tip(code_row, ttab_ref, S)
+
+        def from_slot():
+            return arena_ref[src]
+
+        return jax.lax.cond(flag == 0, from_tip, from_slot)
+
+    def body(i, scaler):
+        e = eidx_ref[i]
+        x1 = fetch(lsrc_ref[i], lflag_ref[i])
+        x2 = fetch(rsrc_ref[i], rflag_ref[i])
+        lcv = lcs_ref[:, pl.ds(e * S, S)]
+        rcv = rcs_ref[:, pl.ds(e * S, S)]
+        x3, mask = _plf_node(
+            x1, x2, lambda a: lcv[:, a:a + 1], lambda a: rcv[:, a:a + 1],
+            ec_ref, valid, S, C)
+        arena_ref[oslot_ref[i]] = x3
+        return scaler + mask
+
+    scaler = jax.lax.fori_loop(0, n_edges, body,
+                               jnp.zeros((1, BS), jnp.int32))
+    x_root = arena_ref[root_slot]
+    lik = rr_ref[0:1, 0:1] * x_root[0:1, :]
+    for rrow in range(1, rows):
+        lik = lik + rr_ref[0:1, rrow:rrow + 1] * x_root[rrow:rrow + 1, :]
+    lik_ref[...] = lik
+    sc_ref[...] = scaler
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_edges", "n_leaves", "n_slots", "root_slot",
+                     "states", "categories", "block_sites", "interpret"))
+def _plf_tree_dynamic_call(sched_arrs, codes, lcs, rcs, ec, ttab, rr, n, *,
+                           n_edges, n_leaves, n_slots, root_slot, states,
+                           categories, block_sites, interpret):
+    S, C = states, categories
+    rows = S * C
+    n_pad = codes.shape[-1]
+    grid = (n_pad // block_sites,)
+    n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
+    ES = lcs.shape[-1]
+
+    kernel = functools.partial(
+        _tree_kernel_dynamic, n_edges=n_edges, n_leaves=n_leaves,
+        root_slot=root_slot, states=S, categories=C,
+        block_sites=block_sites)
+    nm = lambda i, *_: (0, i)
+    c0 = lambda i, *_: (0, 0)
+    lik, sc = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((n_leaves, block_sites), nm,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, ES), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, ES), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, S), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, S + 1), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows), c0, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_sites), nm,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_sites), nm,
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((n_slots, rows, block_sites), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=23 * rows * n_pad * n_edges,
+            bytes_accessed=(n_leaves * 4 + 8) * n_pad,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_arr, *sched_arrs, codes, lcs, rcs, ec, ttab, rr)
+    return lik, sc
+
+
+def plf_tree_pallas_dynamic(codes, schedule, lcs, rcs, ec, tip_table,
+                            root_rows, n, *, n_leaves: int, states: int = 4,
+                            categories: int = 4, block_sites: int = 1024,
+                            interpret: bool = False):
+    """Fused whole-tree likelihood for arbitrary tree sizes.
+
+    Same contract as :func:`plf_tree_pallas` but the schedule executes as
+    a fori_loop over prefetched register-machine arrays — compile time is
+    independent of the node count.  ``schedule`` must be the
+    taller-child-first reordering (reorder_schedule) so the VMEM arena
+    stays small.
+    """
+    arrs, n_slots, root_slot = compile_register_schedule(schedule, n_leaves)
+    vmem = n_slots * states * categories * block_sites * 4
+    if vmem > 10 * 2 ** 20:
+        raise ValueError(
+            f"arena needs {vmem/2**20:.1f} MiB VMEM ({n_slots} slots x "
+            f"block {block_sites}); reduce block_sites")
+    sched_arrs = tuple(jnp.asarray(a) for a in arrs)
+    return _plf_tree_dynamic_call(
+        sched_arrs, codes, lcs, rcs, ec, tip_table, root_rows, n,
+        n_edges=len(schedule), n_leaves=int(n_leaves), n_slots=n_slots,
+        root_slot=root_slot, states=states, categories=categories,
         block_sites=block_sites, interpret=interpret)
 
 

@@ -141,3 +141,59 @@ def test_auto_method_selects_fused_small_tree():
     out_auto = pm.log_likelihood()
     out_fused = pm.log_likelihood(method="fused")
     assert out_auto.scaler_total == out_fused.scaler_total
+
+
+# ------------------------------------------------- dynamic (register VM) --
+
+def test_register_schedule_compilation():
+    from plf_tpu.models import random_tree
+    from plf_tpu.ops.plf_tree_pallas import (compile_register_schedule,
+                                             reorder_schedule,
+                                             schedule_depth)
+    tree = random_tree(50, seed=4)
+    sched = reorder_schedule(tree.schedule(), tree.n_leaves)
+    sched6 = tuple((p, l, r, 0.0, 0.0, e) for (p, l, r, _, _, e) in sched)
+    arrs, n_slots, root_slot = compile_register_schedule(
+        sched6, tree.n_leaves)
+    assert n_slots <= schedule_depth(sched6, tree.n_leaves)
+    assert 0 <= root_slot < n_slots
+    lsrc, lflag, rsrc, rflag, oslot, eidx = arrs
+    assert sorted(eidx) == list(range(49))
+    # flags: leaf operands index leaves, slot operands index the arena
+    assert (lsrc[lflag == 0] < tree.n_leaves).all()
+    assert (lsrc[lflag == 1] < n_slots).all()
+
+
+def test_dynamic_tree_kernel_matches_static():
+    pm = _phylo(n_leaves=9, n_sites=256, seed=31)
+    cfg = pm.config
+    sched, lcs, rcs, ttab = pm._fused_inputs()
+    from plf_tpu.ops.plf_tree_pallas import (plf_tree_pallas,
+                                             plf_tree_pallas_dynamic)
+    lik_s, sc_s = plf_tree_pallas(
+        pm._codes, sched, lcs, rcs, pm._ec, ttab, pm._root_rows,
+        pm.n_sites, n_leaves=pm.tree.n_leaves, block_sites=128,
+        interpret=True)
+    lik_d, sc_d = plf_tree_pallas_dynamic(
+        pm._codes, sched, lcs, rcs, pm._ec, ttab, pm._root_rows,
+        pm.n_sites, n_leaves=pm.tree.n_leaves, block_sites=128,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(sc_d), np.asarray(sc_s))
+    np.testing.assert_array_equal(np.asarray(lik_d), np.asarray(lik_s))
+
+
+def test_large_tree_uses_dynamic_kernel():
+    """>FUSED_UNROLL_MAX_NODES leaves routes to the register-machine
+    kernel and matches the float64 brute force."""
+    n_leaves = 120
+    tree = random_tree(n_leaves, seed=8)
+    rng = np.random.default_rng(8)
+    tips = rng.integers(0, 4, size=(n_leaves, 128))
+    pm = PhyloModel(tree, jc69(), tips,
+                    config=PLFConfig(block_sites=128, interpret=True))
+    assert len(pm.schedule) > pm.FUSED_UNROLL_MAX_NODES
+    out = pm.log_likelihood(method="fused")
+    bf = pm.log_likelihood_bruteforce()
+    assert abs(out.log_likelihood - bf) / abs(bf) < 1e-4
+    pernode = pm.log_likelihood(method="per-node")
+    assert out.scaler_total == pernode.scaler_total
