@@ -133,3 +133,38 @@ class StreamingExecutor:
         for out in self.run(call for _ in range(plf_calls)):
             pass
         return out
+
+    def run_chunked(self, x1, x2, left, right, ev, wgt=None,
+                    chunk_sites: int = 1 << 22):
+        """One giant PLF split into device-sized site chunks.
+
+        The reference sweeps ALIGNMENT_SITES up to 1e9 (Makefile:16) —
+        beyond device memory — by streaming windows from host RAM.  This
+        is the TPU version: the site axis is chunked, chunks stream
+        through the pipelined executor (transfer of chunk k+1 overlaps
+        compute of chunk k), results concatenate on host.
+
+        Returns (x3, scaler_vector_total, scaler_increment) site-major.
+        """
+        cfg = self.config
+        S, C = cfg.states, cfg.categories
+        x1 = np.asarray(x1, np.float32).reshape(-1, C * S)
+        x2 = np.asarray(x2, np.float32).reshape(-1, C * S)
+        n = x1.shape[0]
+        if wgt is None:
+            wgt = np.ones(n, np.int32)
+        wgt = np.asarray(wgt, np.int32)
+        chunk_sites = max(cfg.block_sites,
+                          chunk_sites // cfg.block_sites * cfg.block_sites)
+
+        def calls():
+            for lo in range(0, n, chunk_sites):
+                hi = min(lo + chunk_sites, n)
+                yield (x1[lo:hi], x2[lo:hi], left, right, ev, wgt[lo:hi])
+
+        outs = []
+        inc_total = 0
+        for x3, inc in self.run(calls()):
+            outs.append(np.asarray(x3).reshape(-1, C * S))
+            inc_total += int(inc)
+        return np.concatenate(outs, axis=0).reshape(n, C, S), inc_total

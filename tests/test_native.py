@@ -101,3 +101,37 @@ def test_streaming_executor_pipeline():
         assert inc == ref[2]
     assert ex.timing.num_calls == 5
     assert ex.timing.total() > 0
+
+
+def test_run_chunked_giant_sites():
+    """Chunked streaming matches a single whole call (the 1e9-sites
+    streaming capability, scaled down)."""
+    from plf_tpu.config import PLFConfig
+    from plf_tpu.runtime import StreamingExecutor
+    rng = np.random.default_rng(70)
+    case = make_random_case(rng, 1000)
+    x1, x2, left, right, ev, wgt = case
+    ref = plf_reference(*case)
+    ex = StreamingExecutor(PLFConfig(block_sites=128, interpret=True),
+                           inflight=2)
+    x3, inc = ex.run_chunked(x1, x2, left, right, ev, wgt,
+                             chunk_sites=256)
+    np.testing.assert_allclose(x3, ref[0], rtol=5e-7, atol=1e-37)
+    assert inc == ref[2]
+    assert ex.timing.num_calls == 4  # 1000 sites / 256-chunks
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from plf_tpu.utils.checkpoint import (checkpoint_exists,
+                                          load_checkpoint, save_checkpoint)
+    p = str(tmp_path / "state.npz")
+    assert not checkpoint_exists(p)
+    rng = np.random.default_rng(71)
+    arrays = {"clv_root": rng.random((16, 128), np.float32).astype(np.float32),
+              "scaler": np.int32(42)}
+    save_checkpoint(p, arrays, meta={"n_sites": 100, "tree": "((a,b),c);"})
+    assert checkpoint_exists(p)
+    back, meta = load_checkpoint(p)
+    np.testing.assert_array_equal(back["clv_root"], arrays["clv_root"])
+    assert int(back["scaler"]) == 42
+    assert meta["n_sites"] == 100
