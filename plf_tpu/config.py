@@ -75,6 +75,8 @@ class PLFConfig:
     backend: Backend = Backend.PALLAS
     interpret: bool = False    # Pallas interpreter mode (the sw_emu analogue)
     dtype: str = "float32"     # "float32" (exact) or "bfloat16" (fast mode)
+    kernel_variant: str = "vpu"  # "vpu" (bit-exact elementwise) or "mxu"
+                                 # (block-matmul on the systolic array)
 
     def __post_init__(self):
         if self.states < 2:
@@ -87,6 +89,9 @@ class PLFConfig:
                 f"width), got {self.block_sites}")
         if self.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported dtype {self.dtype!r}")
+        if self.kernel_variant not in ("vpu", "mxu"):
+            raise ValueError(
+                f"unsupported kernel_variant {self.kernel_variant!r}")
 
     @property
     def elements_per_site(self) -> int:

@@ -97,15 +97,22 @@ class PhyloModel:
         self.schedule = tree.schedule()
 
         # --- device constants, all shipped once -----------------------------
-        self._ec = jnp.asarray(L.ev_to_lane_constants(model.plf_ev, S, C))
-        # Stacked per-edge branch constants for the whole schedule.
+        # Variant-specific operator encodings (vpu: per-source-state lane
+        # columns; mxu: (rows, rows) block matrices).
+        if cfg.kernel_variant == "mxu" and cfg.backend is not Backend.XLA:
+            enc_branch = lambda b: L.branch_to_block_matrix(b, S, C)
+            self._ec = jnp.asarray(L.ev_to_block_matrix(model.plf_ev, S, C))
+        else:
+            enc_branch = lambda b: L.branch_to_lane_constants(b, S, C)
+            self._ec = jnp.asarray(
+                L.ev_to_lane_constants(model.plf_ev, S, C))
         lcs, rcs = [], []
         for _, _, _, tl, tr in self.schedule:
-            lcs.append(L.branch_to_lane_constants(
-                branch_matrices(model, tl, self.rates, C), S, C))
-            rcs.append(L.branch_to_lane_constants(
-                branch_matrices(model, tr, self.rates, C), S, C))
-        self._lcs = jnp.asarray(np.stack(lcs))   # (E, S*C, S)
+            lcs.append(enc_branch(
+                branch_matrices(model, tl, self.rates, C)))
+            rcs.append(enc_branch(
+                branch_matrices(model, tr, self.rates, C)))
+        self._lcs = jnp.asarray(np.stack(lcs))   # (E, rows, S|rows)
         self._rcs = jnp.asarray(np.stack(rcs))
         # Tip expansion table: row s of tip_table is the eigen-coordinate
         # CLV of observed state s; last row = gap (all-ones likelihood).
@@ -162,7 +169,8 @@ class PhyloModel:
                     x3, sc = plf_pallas_lane_major(
                         x1, x2, lcs[e], rcs[e], ec, jnp.int32(n),
                         states=S, categories=C,
-                        block_sites=cfg.block_sites, interpret=interpret)
+                        block_sites=cfg.block_sites, interpret=interpret,
+                        variant=cfg.kernel_variant)
                     inc = jnp.sum(sc[0] * wgt)
                 else:
                     x3s, scs, inc = plf_xla(
@@ -235,14 +243,15 @@ class PhyloModel:
                 self._root_rows, self.n_sites,
                 n_leaves=self.tree.n_leaves, states=cfg.states,
                 categories=cfg.categories, block_sites=cfg.block_sites,
-                interpret=interpret, max_live=self.FUSED_MAX_LIVE)
+                interpret=interpret, max_live=self.FUSED_MAX_LIVE,
+                variant=cfg.kernel_variant)
         else:
             lik, sc = plf_tree_pallas_dynamic(
                 self._codes, sched, lcs, rcs, self._ec, ttab,
                 self._root_rows, self.n_sites,
                 n_leaves=self.tree.n_leaves, states=cfg.states,
                 categories=cfg.categories, block_sites=cfg.block_sites,
-                interpret=interpret)
+                interpret=interpret, variant=cfg.kernel_variant)
         n = self.n_sites
         scaler_total = int(np.asarray(
             jnp.sum(sc[0] * self._wgt_dev)))

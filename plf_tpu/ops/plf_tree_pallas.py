@@ -142,9 +142,26 @@ def _plf_node(x1, x2, lc_col, rc_col, ec_ref, valid, states, categories):
     return x3, mask.astype(jnp.int32)
 
 
+def _plf_node_mxu(x1, x2, ml, mr, me, valid):
+    """One PLF node as three (rows, rows) block matmuls on the MXU
+    (operators from layout.branch_to_block_matrix / ev_to_block_matrix)."""
+    hi = jax.lax.Precision.HIGHEST
+    ump1 = jax.lax.dot(ml, x1, precision=hi,
+                       preferred_element_type=jnp.float32)
+    ump2 = jax.lax.dot(mr, x2, precision=hi,
+                       preferred_element_type=jnp.float32)
+    p = ump1 * ump2
+    x3 = jax.lax.dot(me, p, precision=hi,
+                     preferred_element_type=jnp.float32)
+    small = jnp.abs(x3) < MIN_LIKELIHOOD
+    mask = jnp.logical_and(jnp.all(small, axis=0, keepdims=True), valid)
+    x3 = jnp.where(mask, x3 * TWO_TO_THE_32, x3)
+    return x3, mask.astype(jnp.int32)
+
+
 def _tree_kernel(n_ref, codes_ref, lcs_ref, rcs_ref, ec_ref, ttab_ref,
                  rr_ref, lik_ref, sc_ref, *, schedule, n_leaves,
-                 states, categories, block_sites):
+                 states, categories, block_sites, variant):
     S, C = states, categories
     BS = block_sites
     site0 = pl.program_id(0) * BS
@@ -157,6 +174,7 @@ def _tree_kernel(n_ref, codes_ref, lcs_ref, rcs_ref, ec_ref, ttab_ref,
         for ch in (entry[1], entry[2]):
             refcount[ch] = refcount.get(ch, 0) + 1
     scaler = jnp.zeros((1, BS), jnp.int32)
+    W = S * C if variant == "mxu" else S  # packed operator column width
 
     def get_child(node):
         if node < n_leaves:
@@ -167,9 +185,15 @@ def _tree_kernel(n_ref, codes_ref, lcs_ref, rcs_ref, ec_ref, ttab_ref,
     for (parent, l, r, _, _, e) in schedule:
         x1 = get_child(l)
         x2 = get_child(r)
-        lc_col = lambda a, e=e: lcs_ref[:, e * S + a:e * S + a + 1]
-        rc_col = lambda a, e=e: rcs_ref[:, e * S + a:e * S + a + 1]
-        x3, mask = _plf_node(x1, x2, lc_col, rc_col, ec_ref, valid, S, C)
+        if variant == "mxu":
+            x3, mask = _plf_node_mxu(
+                x1, x2, lcs_ref[:, e * W:(e + 1) * W],
+                rcs_ref[:, e * W:(e + 1) * W], ec_ref[...], valid)
+        else:
+            lc_col = lambda a, e=e: lcs_ref[:, e * S + a:e * S + a + 1]
+            rc_col = lambda a, e=e: rcs_ref[:, e * S + a:e * S + a + 1]
+            x3, mask = _plf_node(x1, x2, lc_col, rc_col, ec_ref, valid,
+                                 S, C)
         scaler = scaler + mask
         stack[parent] = x3
         for ch in (l, r):
@@ -191,9 +215,10 @@ def _tree_kernel(n_ref, codes_ref, lcs_ref, rcs_ref, ec_ref, ttab_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("schedule", "n_leaves", "states", "categories",
-                     "block_sites", "interpret"))
+                     "block_sites", "interpret", "variant"))
 def _plf_tree_call(codes, lcs, rcs, ec, ttab, rr, n, *, schedule, n_leaves,
-                   states, categories, block_sites, interpret):
+                   states, categories, block_sites, interpret,
+                   variant="vpu"):
     S, C = states, categories
     rows = S * C
     n_pad = codes.shape[-1]
@@ -201,9 +226,11 @@ def _plf_tree_call(codes, lcs, rcs, ec, ttab, rr, n, *, schedule, n_leaves,
     n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
     E = len(schedule)
 
+    W = rows if variant == "mxu" else S
+    EW = ec.shape[-1]
     kernel = functools.partial(
         _tree_kernel, schedule=schedule, n_leaves=n_leaves, states=S,
-        categories=C, block_sites=block_sites)
+        categories=C, block_sites=block_sites, variant=variant)
     lik, sc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -212,11 +239,11 @@ def _plf_tree_call(codes, lcs, rcs, ec, ttab, rr, n, *, schedule, n_leaves,
             in_specs=[
                 pl.BlockSpec((n_leaves, block_sites), lambda i, n: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, E * S), lambda i, n: (0, 0),
+                pl.BlockSpec((rows, E * W), lambda i, n: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, E * S), lambda i, n: (0, 0),
+                pl.BlockSpec((rows, E * W), lambda i, n: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, S), lambda i, n: (0, 0),
+                pl.BlockSpec((rows, EW), lambda i, n: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((rows, S + 1), lambda i, n: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -247,7 +274,8 @@ def _plf_tree_call(codes, lcs, rcs, ec, ttab, rr, n, *, schedule, n_leaves,
 def plf_tree_pallas(codes, schedule, lcs, rcs, ec, tip_table, root_rows,
                     n, *, n_leaves: int, states: int = 4,
                     categories: int = 4, block_sites: int = 1024,
-                    interpret: bool = False, max_live: int = 64):
+                    interpret: bool = False, max_live: int = 64,
+                    variant: str = "vpu"):
     """Fused whole-tree likelihood.
 
     Args:
@@ -276,7 +304,7 @@ def plf_tree_pallas(codes, schedule, lcs, rcs, ec, tip_table, root_rows,
     return _plf_tree_call(
         codes, lcs, rcs, ec, tip_table, root_rows, n, schedule=sched,
         n_leaves=int(n_leaves), states=states, categories=categories,
-        block_sites=block_sites, interpret=interpret)
+        block_sites=block_sites, interpret=interpret, variant=variant)
 
 
 # --------------------------------------------------------------------------
@@ -347,7 +375,7 @@ def _tree_kernel_dynamic(n_ref, lsrc_ref, lflag_ref, rsrc_ref, rflag_ref,
                          oslot_ref, eidx_ref, codes_ref, lcs_ref, rcs_ref,
                          ec_ref, ttab_ref, rr_ref, lik_ref, sc_ref,
                          arena_ref, *, n_edges, n_leaves, root_slot,
-                         states, categories, block_sites):
+                         states, categories, block_sites, variant):
     S, C = states, categories
     rows = S * C
     BS = block_sites
@@ -365,15 +393,20 @@ def _tree_kernel_dynamic(n_ref, lsrc_ref, lflag_ref, rsrc_ref, rflag_ref,
 
         return jax.lax.cond(flag == 0, from_tip, from_slot)
 
+    W = S * C if variant == "mxu" else S
+
     def body(i, scaler):
         e = eidx_ref[i]
         x1 = fetch(lsrc_ref[i], lflag_ref[i])
         x2 = fetch(rsrc_ref[i], rflag_ref[i])
-        lcv = lcs_ref[:, pl.ds(e * S, S)]
-        rcv = rcs_ref[:, pl.ds(e * S, S)]
-        x3, mask = _plf_node(
-            x1, x2, lambda a: lcv[:, a:a + 1], lambda a: rcv[:, a:a + 1],
-            ec_ref, valid, S, C)
+        lcv = lcs_ref[:, pl.ds(e * W, W)]
+        rcv = rcs_ref[:, pl.ds(e * W, W)]
+        if variant == "mxu":
+            x3, mask = _plf_node_mxu(x1, x2, lcv, rcv, ec_ref[...], valid)
+        else:
+            x3, mask = _plf_node(
+                x1, x2, lambda a: lcv[:, a:a + 1],
+                lambda a: rcv[:, a:a + 1], ec_ref, valid, S, C)
         arena_ref[oslot_ref[i]] = x3
         return scaler + mask
 
@@ -390,10 +423,12 @@ def _tree_kernel_dynamic(n_ref, lsrc_ref, lflag_ref, rsrc_ref, rflag_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n_edges", "n_leaves", "n_slots", "root_slot",
-                     "states", "categories", "block_sites", "interpret"))
+                     "states", "categories", "block_sites", "interpret",
+                     "variant"))
 def _plf_tree_dynamic_call(sched_arrs, codes, lcs, rcs, ec, ttab, rr, n, *,
                            n_edges, n_leaves, n_slots, root_slot, states,
-                           categories, block_sites, interpret):
+                           categories, block_sites, interpret,
+                           variant="vpu"):
     S, C = states, categories
     rows = S * C
     n_pad = codes.shape[-1]
@@ -404,7 +439,7 @@ def _plf_tree_dynamic_call(sched_arrs, codes, lcs, rcs, ec, ttab, rr, n, *,
     kernel = functools.partial(
         _tree_kernel_dynamic, n_edges=n_edges, n_leaves=n_leaves,
         root_slot=root_slot, states=S, categories=C,
-        block_sites=block_sites)
+        block_sites=block_sites, variant=variant)
     nm = lambda i, *_: (0, i)
     c0 = lambda i, *_: (0, 0)
     lik, sc = pl.pallas_call(
@@ -417,7 +452,8 @@ def _plf_tree_dynamic_call(sched_arrs, codes, lcs, rcs, ec, ttab, rr, n, *,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((rows, ES), c0, memory_space=pltpu.VMEM),
                 pl.BlockSpec((rows, ES), c0, memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, S), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, ec.shape[-1]), c0,
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((rows, S + 1), c0, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, rows), c0, memory_space=pltpu.VMEM),
             ],
@@ -448,7 +484,7 @@ def _plf_tree_dynamic_call(sched_arrs, codes, lcs, rcs, ec, ttab, rr, n, *,
 def plf_tree_pallas_dynamic(codes, schedule, lcs, rcs, ec, tip_table,
                             root_rows, n, *, n_leaves: int, states: int = 4,
                             categories: int = 4, block_sites: int = 1024,
-                            interpret: bool = False):
+                            interpret: bool = False, variant: str = "vpu"):
     """Fused whole-tree likelihood for arbitrary tree sizes.
 
     Same contract as :func:`plf_tree_pallas` but the schedule executes as
@@ -468,7 +504,7 @@ def plf_tree_pallas_dynamic(codes, schedule, lcs, rcs, ec, tip_table,
         sched_arrs, codes, lcs, rcs, ec, tip_table, root_rows, n,
         n_edges=len(schedule), n_leaves=int(n_leaves), n_slots=n_slots,
         root_slot=root_slot, states=states, categories=categories,
-        block_sites=block_sites, interpret=interpret)
+        block_sites=block_sites, interpret=interpret, variant=variant)
 
 
 def pack_branch_constants(branches, states: int = 4, categories: int = 4):

@@ -218,3 +218,51 @@ def test_pallas_gen_compute_probe():
                          inner_iters=2, interpret=True)
     assert out.shape == (1, 256)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_block_matrix_operators():
+    """Block-matrix form reproduces the staged computation exactly in f64."""
+    from plf_tpu.ops import layout as L
+    rng = np.random.default_rng(62)
+    b = rng.random((4, 4, 4), dtype=np.float32)
+    ev = rng.random((4, 4), dtype=np.float32)
+    M = np.asarray(L.branch_to_block_matrix(b))
+    ME = np.asarray(L.ev_to_block_matrix(ev))
+    x = rng.random((16, 10), dtype=np.float32)
+    # stage1: ump[(k,c)] = sum_a b[c,k,a] x[(a,c)]
+    ump = np.zeros((16, 10))
+    for c in range(4):
+        for k in range(4):
+            for a in range(4):
+                ump[k * 4 + c] += b[c, k, a].astype(np.float64) * x[a * 4 + c]
+    np.testing.assert_allclose(M.astype(np.float64) @ x, ump, rtol=1e-6)
+    # stage3: x3[(a,c)] = sum_k ev[k,a] p[(k,c)]
+    p = rng.random((16, 10), dtype=np.float32)
+    x3 = np.zeros((16, 10))
+    for c in range(4):
+        for a in range(4):
+            for k in range(4):
+                x3[a * 4 + c] += ev[k, a].astype(np.float64) * p[k * 4 + c]
+    np.testing.assert_allclose(ME.astype(np.float64) @ p, x3, rtol=1e-6)
+
+
+@pytest.mark.parametrize("n", [256, 333])
+def test_pallas_mxu_variant_matches_golden(n):
+    """MXU block-matmul variant vs golden (ULP tolerance off-TPU)."""
+    rng = np.random.default_rng(63)
+    case = make_random_case(rng, n)
+    ref = plf_reference(*case)
+    got = _run_case(case, plf_pallas, block_sites=BLOCK, interpret=True,
+                    variant="mxu")
+    assert_clv_match(got[0], ref[0], exact=False)
+    assert int(got[2]) == ref[2]
+
+
+def test_pallas_mxu_protein():
+    rng = np.random.default_rng(64)
+    case = make_random_case(rng, 200, states=20)
+    ref = plf_reference(*case, states=20)
+    got = _run_case(case, plf_pallas, states=20, block_sites=BLOCK,
+                    interpret=True, variant="mxu")
+    assert_clv_match(got[0], ref[0], exact=False)
+    assert int(got[2]) == ref[2]

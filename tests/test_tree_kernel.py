@@ -197,3 +197,43 @@ def test_large_tree_uses_dynamic_kernel():
     assert abs(out.log_likelihood - bf) / abs(bf) < 1e-4
     pernode = pm.log_likelihood(method="per-node")
     assert out.scaler_total == pernode.scaler_total
+
+
+def test_mxu_variant_tree_matches_vpu():
+    """mxu tree kernels (static + dynamic) match the vpu path within ULP."""
+    tree = random_tree(7, seed=41)
+    rng = np.random.default_rng(41)
+    tips = rng.integers(0, 4, size=(7, 256))
+    m = hky85(1.7, [0.28, 0.22, 0.26, 0.24])
+    base = PLFConfig(block_sites=128, interpret=True)
+    mxu = PLFConfig(block_sites=128, interpret=True, kernel_variant="mxu")
+    out_v = PhyloModel(tree, m, tips, alpha=0.5,
+                       config=base).log_likelihood(method="fused")
+    out_m = PhyloModel(tree, m, tips, alpha=0.5,
+                       config=mxu).log_likelihood(method="fused")
+    assert out_v.scaler_total == out_m.scaler_total
+    np.testing.assert_allclose(out_m.site_log_likelihood,
+                               out_v.site_log_likelihood, atol=1e-5)
+    # dynamic variant too
+    pmm = PhyloModel(tree, m, tips, alpha=0.5, config=mxu)
+    sched, lcs, rcs, ttab = pmm._fused_inputs()
+    from plf_tpu.ops.plf_tree_pallas import plf_tree_pallas_dynamic
+    lik_d, sc_d = plf_tree_pallas_dynamic(
+        pmm._codes, sched, lcs, rcs, pmm._ec, ttab, pmm._root_rows,
+        pmm.n_sites, n_leaves=7, block_sites=128, interpret=True,
+        variant="mxu")
+    np.testing.assert_allclose(
+        np.log(np.asarray(lik_d, np.float64)[0, :256]),
+        out_m.site_log_likelihood, atol=1e-6)
+
+
+def test_mxu_variant_per_node_traversal():
+    tree = random_tree(6, seed=42)
+    rng = np.random.default_rng(42)
+    tips = rng.integers(0, 4, size=(6, 200))
+    m = jc69()
+    mxu = PLFConfig(block_sites=128, interpret=True, kernel_variant="mxu")
+    pm = PhyloModel(tree, m, tips, config=mxu)
+    out = pm.log_likelihood(method="per-node")
+    bf = pm.log_likelihood_bruteforce()
+    assert abs(out.log_likelihood - bf) / abs(bf) < 1e-5
