@@ -136,7 +136,8 @@ class PLFEngine:
                                 jnp.asarray(ev), jnp.asarray(wgt),
                                 states=S, categories=C,
                                 block_sites=cfg.block_sites,
-                                interpret=cfg.interpret)
+                                interpret=cfg.interpret,
+                                variant=cfg.kernel_variant)
         return PLFResult(x3, sv, si)
 
     # -- multi-instance (the 9-accelerator analogue) -------------------------
@@ -170,7 +171,8 @@ class PLFEngine:
         fn = jax.vmap(
             lambda a, b, l, r, e, w: plf_pallas(
                 a, b, l, r, e, w, states=S, categories=C,
-                block_sites=cfg.block_sites, interpret=cfg.interpret))
+                block_sites=cfg.block_sites, interpret=cfg.interpret,
+                variant=cfg.kernel_variant))
         x3, sv, si = fn(x1.reshape(ni, n, C, S),
                         jnp.asarray(x2).reshape(ni, n, C, S),
                         jnp.asarray(left), jnp.asarray(right),

@@ -25,7 +25,6 @@ site CLV by 2^32; folded back exactly as RAxML does).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Dict, Optional
 
 import jax
@@ -35,8 +34,7 @@ import numpy as np
 from ..config import Backend, PLFConfig
 from ..ops import layout as L
 from ..ops.plf_pallas import plf_pallas_lane_major
-from ..ops.plf_tree_pallas import (pack_branch_constants, plf_tree_pallas,
-                                   plf_tree_pallas_dynamic,
+from ..ops.plf_tree_pallas import (plf_tree_pallas, plf_tree_pallas_dynamic,
                                    reorder_schedule, schedule_depth)
 from ..ops.plf_xla import plf_xla
 from .substitution import SubstitutionModel, branch_matrices
