@@ -292,6 +292,76 @@ class PhyloModel:
             scaler_total=int(scaler_total),
             root_clv=x_root if keep_root_clv else None)
 
+    # -- multi-chip: site-sharded fused traversal ---------------------------
+
+    def log_likelihood_sharded(self, mesh=None) -> TreeLikelihoodResult:
+        """Whole-tree likelihood with the site axis sharded over a device
+        mesh (ICI intra-slice / DCN multi-host): each device runs the fused
+        tree kernel on its site shard; the weighted log-likelihood partials
+        and scaler counts merge with a single psum (the only cross-device
+        traffic — the site dimension is pointwise, SURVEY.md §2.5).
+        """
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from ..parallel.sharding import make_mesh
+
+        cfg = self.config
+        mesh = mesh or make_mesh()
+        ndev = mesh.shape["sites"]
+        interpret = cfg.interpret or (jax.default_backend() != "tpu")
+        sched, lcs, rcs, ttab = self._fused_inputs()
+        n = self.n_sites
+        unit = ndev * cfg.block_sites
+        n_pad = max(unit, -(-n // unit) * unit)
+        shard = n_pad // ndev
+        S = cfg.states
+
+        codes = np.asarray(self._codes)
+        if codes.shape[-1] < n_pad:
+            pad = np.full((codes.shape[0], n_pad - codes.shape[-1]), S,
+                          np.int32)
+            codes = np.concatenate([codes, pad], axis=-1)
+        wgt = np.zeros((1, n_pad), np.int32)
+        wgt[0, :n] = self.wgt
+
+        dyn = len(sched) > self.FUSED_UNROLL_MAX_NODES
+        n_leaves = self.tree.n_leaves
+
+        def local(codes_s, lcs_s, rcs_s, ec_s, ttab_s, rr_s, wgt_s, ns):
+            rank = jax.lax.axis_index("sites")
+            n_local = jnp.clip(ns - rank * shard, 0, shard)
+            kern = plf_tree_pallas_dynamic if dyn else plf_tree_pallas
+            lik, sc = kern(
+                codes_s, sched, lcs_s, rcs_s, ec_s, ttab_s, rr_s, n_local,
+                n_leaves=n_leaves, states=S, categories=cfg.categories,
+                block_sites=cfg.block_sites, interpret=interpret,
+                variant=cfg.kernel_variant)
+            valid = (jax.lax.broadcasted_iota(jnp.int32, (1, shard), 1)
+                     < n_local)
+            site_ll = jnp.where(valid,
+                                jnp.log(jnp.maximum(lik, 1e-45)), 0.0)
+            ll_part = jax.lax.psum(
+                jnp.sum(site_ll * wgt_s.astype(jnp.float32)), "sites")
+            sc_part = jax.lax.psum(jnp.sum(sc * wgt_s), "sites")
+            return lik, ll_part, sc_part
+
+        spec_s = P(None, "sites")
+        rep = P(None, None)
+        fn = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(spec_s, rep, rep, rep, rep, rep, spec_s, P()),
+            out_specs=(spec_s, P(), P()),
+            check_vma=False))
+        lik, ll_sum, scaler_total = fn(
+            jnp.asarray(codes), lcs, rcs, self._ec, ttab, self._root_rows,
+            jnp.asarray(wgt), jnp.int32(n))
+        scaler_total = int(scaler_total)
+        ll = float(ll_sum) + scaler_total * LOG_MINLIK
+        lik_h = np.asarray(lik, np.float64)[0, :n]
+        return TreeLikelihoodResult(
+            log_likelihood=ll,
+            site_log_likelihood=np.log(lik_h),
+            scaler_total=scaler_total, root_clv=None)
+
     # -- brute-force oracle (tests) -----------------------------------------
 
     def log_likelihood_bruteforce(self) -> float:

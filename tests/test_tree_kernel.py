@@ -237,3 +237,30 @@ def test_mxu_variant_per_node_traversal():
     out = pm.log_likelihood(method="per-node")
     bf = pm.log_likelihood_bruteforce()
     assert abs(out.log_likelihood - bf) / abs(bf) < 1e-5
+
+
+def test_sharded_tree_likelihood_matches_single_device():
+    """Fused tree over an 8-device site-sharded mesh == single device."""
+    from plf_tpu.parallel import make_mesh
+    pm = _phylo(n_leaves=6, n_sites=1500, seed=55)
+    mesh = make_mesh()
+    out_sharded = pm.log_likelihood_sharded(mesh)
+    out_single = pm.log_likelihood(method="fused")
+    assert out_sharded.scaler_total == out_single.scaler_total
+    np.testing.assert_allclose(out_sharded.site_log_likelihood,
+                               out_single.site_log_likelihood, atol=1e-6)
+    assert abs(out_sharded.log_likelihood - out_single.log_likelihood) < \
+        1e-4 * abs(out_single.log_likelihood) + 1e-2
+
+
+def test_sharded_tree_likelihood_large_tree_dynamic():
+    n_leaves = 110
+    tree = random_tree(n_leaves, seed=66)
+    rng = np.random.default_rng(66)
+    tips = rng.integers(0, 4, size=(n_leaves, 700))
+    pm = PhyloModel(tree, jc69(), tips,
+                    config=PLFConfig(block_sites=128, interpret=True))
+    from plf_tpu.parallel import make_mesh
+    out = pm.log_likelihood_sharded(make_mesh())
+    bf = pm.log_likelihood_bruteforce()
+    assert abs(out.log_likelihood - bf) / abs(bf) < 1e-4
