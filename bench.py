@@ -30,7 +30,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_inputs(n_sites, states, categories, seed=0):
+def make_inputs(n_sites, states, categories, seed=0, variant="vpu"):
     """CLVs generated ON DEVICE (host->HBM transfer of GBs through the
     tunnel would dominate setup); small matrices on host."""
     import jax
@@ -51,59 +51,77 @@ def make_inputs(n_sites, states, categories, seed=0):
     left = rng.random((C, S, S), dtype=np.float32)
     right = rng.random((C, S, S), dtype=np.float32)
     ev = rng.random((S, S), dtype=np.float32)
-    lc = L.branch_to_lane_constants(left, S, C)
-    rc = L.branch_to_lane_constants(right, S, C)
-    ec = L.ev_to_lane_constants(ev, S, C)
+    if variant == "mxu":
+        lc = L.branch_to_block_matrix(left, S, C)
+        rc = L.branch_to_block_matrix(right, S, C)
+        ec = L.ev_to_block_matrix(ev, S, C)
+    else:
+        lc = L.branch_to_lane_constants(left, S, C)
+        rc = L.branch_to_lane_constants(right, S, C)
+        ec = L.ev_to_lane_constants(ev, S, C)
     return x1, x2, lc, rc, ec
 
 
-def bench_fused(n_sites=1 << 25, iters=5, block=8192, states=4,
-                categories=4, warmup=2):
-    """sites/s of the fused kernel: direct large-N calls, scalar fence.
+def bench_fused(n_sites=1 << 24, iters=None, block=8192, states=4,
+                categories=4, variant="vpu", k_pair=(2, 10)):
+    """Device sites/s of the fused kernel via the slope protocol.
 
-    One call per timing sample (large N amortises dispatch overhead —
-    through the axon tunnel each launch carries ~1.7 ms fixed cost that a
-    real pod does not).  The fence fetches only a scalar: fetching arrays
-    would measure the host tunnel, not the device.
+    Through the axon tunnel every host->device call carries ~28 ms of
+    fixed overhead that a real pod does not have, so single-call timing
+    under-reports badly.  Protocol: time a jitted chain of K kernel
+    invocations (lax.scan, output feeding the next input — the tree-
+    traversal access pattern) for two values of K and take the slope;
+    fixed overheads cancel exactly.  The fence fetches only scalars.
     """
     import jax
     import jax.numpy as jnp
     from plf_tpu.ops.plf_pallas import plf_pallas_lane_major
 
     S, C = states, categories
-    x1, x2, lc, rc, ec = make_inputs(n_sites, S, C)
+    x1, x2, lc, rc, ec = make_inputs(n_sites, S, C, variant=variant)
     x1d, x2d = jnp.asarray(x1), jnp.asarray(x2)
     lcd, rcd, ecd = jnp.asarray(lc), jnp.asarray(rc), jnp.asarray(ec)
     n = jnp.int32(n_sites)
     interpret = jax.default_backend() != "tpu"
+    if interpret:
+        k_pair = (1, 2)
 
     kernel = functools.partial(
         plf_pallas_lane_major, states=S, categories=C, block_sites=block,
-        interpret=interpret)
+        interpret=interpret, variant=variant)
 
-    @jax.jit
-    def onecall(x1, x2, lc, rc, ec, n):
-        x3, sc = kernel(x1, x2, lc, rc, ec, n)
-        # Tiny reductions so only scalars leave the device; sum over a
-        # slice keeps the fence cost independent of n.
-        return jnp.sum(x3[:, :8]), jnp.sum(sc)
+    def chained(K):
+        @jax.jit
+        def f(x1, x2, lc, rc, ec, n):
+            def body(carry, _):
+                a, acc = carry
+                x3, sc = kernel(a, x2, lc, rc, ec, n)
+                return (x3, acc + jnp.sum(sc)), ()
+            (o, acc), _ = jax.lax.scan(body, (x1, jnp.int32(0)), None,
+                                       length=K)
+            return jnp.sum(o[:, :8]) + acc.astype(jnp.float32)
+        return f
 
-    def fence(out):
-        return float(np.asarray(out[0])), int(np.asarray(out[1]))
+    def timed(K, reps=4):
+        f = chained(K)
+        float(np.asarray(f(x1d, x2d, lcd, rcd, ecd, n)))  # compile
+        best = None
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(f(x1d, x2d, lcd, rcd, ecd, n)))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best
 
-    fence(onecall(x1d, x2d, lcd, rcd, ecd, n))  # compile + warm
-    times = []
-    for _ in range(warmup + iters):
-        t0 = time.perf_counter()
-        fence(onecall(x1d, x2d, lcd, rcd, ecd, n))
-        times.append(time.perf_counter() - t0)
-    best = min(times[warmup:])
-    sites_per_sec = n_sites / best
+    t_lo = timed(k_pair[0])
+    t_hi = timed(k_pair[1])
+    per_iter = max((t_hi - t_lo) / (k_pair[1] - k_pair[0]), 1e-9)
+    sites_per_sec = n_sites / per_iter
     bytes_per_site = (3 * S * C + 1) * 4
     gbs = sites_per_sec * bytes_per_site / 1e9
-    log(f"fused kernel: n={n_sites} block={block} "
-        f"time={best*1e3:.2f}ms -> {sites_per_sec/1e9:.3f} Gsites/s, "
-        f"{gbs:.0f} GB/s effective")
+    log(f"fused kernel[{variant}]: n={n_sites} block={block} "
+        f"per-call={per_iter*1e3:.2f}ms (fixed ~{t_lo*1e3:.0f}ms excluded) "
+        f"-> {sites_per_sec/1e9:.3f} Gsites/s, {gbs:.0f} GB/s effective")
     return sites_per_sec
 
 
@@ -112,8 +130,8 @@ BASELINE_SITES_PER_SEC = 2.7e9  # 9 instances x 300 Msites/s PLIO bound
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sites", type=int, default=1 << 25)
-    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--sites", type=int, default=1 << 24)
+    ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--block", type=int, default=8192)
     ap.add_argument("--sweep", action="store_true",
                     help="block-size sweep + protein bench to stderr")
@@ -128,13 +146,18 @@ def main():
         args.block = 128
 
     if args.sweep and jax.default_backend() == "tpu":
-        for blk in (1024, 2048, 4096, 8192, 16384):
+        for blk in (4096, 8192, 16384):
             try:
-                bench_fused(n_sites=args.sites, iters=3, block=blk)
+                bench_fused(n_sites=args.sites, block=blk)
             except Exception as e:
                 log(f"block={blk}: {type(e).__name__}: {e}")
         try:
-            sps = bench_fused(n_sites=args.sites // 8, iters=3,
+            bench_fused(n_sites=args.sites, block=args.block,
+                        variant="mxu")
+        except Exception as e:
+            log(f"mxu: {type(e).__name__}: {e}")
+        try:
+            sps = bench_fused(n_sites=args.sites // 8,
                               block=1024, states=20)
             log(f"protein 20-state: {sps/1e9:.3f} Gsites/s")
         except Exception as e:
@@ -148,8 +171,7 @@ def main():
         except Exception as e:
             log(f"tree fused: {type(e).__name__}: {e}")
 
-    sps = bench_fused(n_sites=args.sites, iters=args.iters,
-                      block=args.block)
+    sps = bench_fused(n_sites=args.sites, block=args.block)
     print(json.dumps({
         "metric": "plf_dna_sites_per_sec",
         "value": round(sps, 1),
