@@ -61,6 +61,13 @@ def main(argv=None):
                     help="write per-call phase timings CSV")
     ap.add_argument("--gen", action="store_true",
                     help="compute-only probe (host_gen flavor)")
+    ap.add_argument("--prerun-check", action="store_true",
+                    help="interactive Y/n gate before running (the "
+                         "reference's prerun_check, utils.cpp:9-39; "
+                         "skipped by default = NO_PRERUN_CHECK)")
+    ap.add_argument("--roundtrip", action="store_true",
+                    help="time whole calls only, no phase split (the "
+                         "NO_INTERMEDIATE_RESULTS mode, Makefile:159-161)")
     args = ap.parse_args(argv)
 
     from .config import PLFConfig
@@ -113,10 +120,16 @@ def main(argv=None):
         log(f"gen probe: {ns/dt/1e9:.3f} Gnode-sites/s")
         return 0
 
+    if args.prerun_check and sys.stdin.isatty():
+        ans = input("Start the run? [Y/n] ").strip().lower()
+        if ans and ans != "y":
+            log("Aborted.")
+            return 2
+
     log("Initialize test data ...")
     case = make_data(args.sites, cfg.states, cfg.categories)
     log("Running ...")
-    ex = StreamingExecutor(cfg, inflight=2)
+    ex = StreamingExecutor(cfg, inflight=1 if args.roundtrip else 2)
     result = None
     for result in ex.run(case for _ in range(args.calls)):
         pass
