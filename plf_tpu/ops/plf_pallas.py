@@ -91,8 +91,9 @@ def _plf_kernel(n_ref, x1_ref, x2_ref, lc_ref, rc_ref, ec_ref,
         x3 = x3 + _tile_rows(p[k * C:(k + 1) * C, :], S) * ec_ref[:, k:k + 1]
 
     # Stage 4: fused underflow rescale (s2mm_memDNAwindowComb.cpp:71-85).
-    small = jnp.abs(x3) < MIN_LIKELIHOOD
-    mask = jnp.all(small, axis=0, keepdims=True)              # (1, BS)
+    # max-reduce form: max|x3| < 2^-32  <=>  all(|x3| < 2^-32), fewer VPU ops.
+    mask = (jnp.max(jnp.abs(x3), axis=0, keepdims=True)
+            < MIN_LIKELIHOOD)                                 # (1, BS)
     site0 = pl.program_id(0) * BS
     idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
     valid = idx < n_ref[0]
@@ -106,12 +107,12 @@ def _plf_kernel_mxu(n_ref, x1_ref, x2_ref, ml_ref, mr_ref, me_ref,
                     x3_ref, sc_ref, *, states: int, categories: int,
                     block_sites: int):
     """MXU variant: the three PLF stages as (rows, rows) @ (rows, BS)
-    matmuls against block-structured operators (layout.
-    branch_to_block_matrix).  ~6x faster than the VPU tile/concat form
-    on real chips (the concats are sublane relayouts); bit-exactness vs
-    the scalar reference depends on the MXU fp32 accumulation order —
-    verified on hardware by tests; the VPU variant remains the exactness
-    anchor."""
+    matmuls against block-structured operators
+    (layout.branch_to_block_matrix) on the systolic array.  Measured on
+    v5e: comparable throughput to the VPU form (both compute-bound), but
+    results are within 1 ULP rather than bit-exact (the MXU's fp32
+    HIGHEST path rounds differently); scaler counts still match exactly.
+    The VPU variant is the default and the exactness anchor."""
     S, C = states, categories
     BS = block_sites
     x1 = x1_ref[...].astype(jnp.float32)
@@ -124,8 +125,7 @@ def _plf_kernel_mxu(n_ref, x1_ref, x2_ref, ml_ref, mr_ref, me_ref,
     p = ump1 * ump2
     x3 = jax.lax.dot(me_ref[...], p, precision=hi,
                      preferred_element_type=jnp.float32)
-    small = jnp.abs(x3) < MIN_LIKELIHOOD
-    mask = jnp.all(small, axis=0, keepdims=True)
+    mask = (jnp.max(jnp.abs(x3), axis=0, keepdims=True) < MIN_LIKELIHOOD)
     site0 = pl.program_id(0) * BS
     idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
     mask = jnp.logical_and(mask, idx < n_ref[0])

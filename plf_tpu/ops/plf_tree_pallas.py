@@ -136,8 +136,8 @@ def _plf_node(x1, x2, lc_col, rc_col, ec_ref, valid, states, categories):
     x3 = _tile_rows(p[0:C, :], S) * ec_ref[:, 0:1]
     for k in range(1, S):
         x3 = x3 + _tile_rows(p[k * C:(k + 1) * C, :], S) * ec_ref[:, k:k + 1]
-    small = jnp.abs(x3) < MIN_LIKELIHOOD
-    mask = jnp.logical_and(jnp.all(small, axis=0, keepdims=True), valid)
+    mask = jnp.logical_and(
+        jnp.max(jnp.abs(x3), axis=0, keepdims=True) < MIN_LIKELIHOOD, valid)
     x3 = jnp.where(mask, x3 * TWO_TO_THE_32, x3)
     return x3, mask.astype(jnp.int32)
 
@@ -153,8 +153,8 @@ def _plf_node_mxu(x1, x2, ml, mr, me, valid):
     p = ump1 * ump2
     x3 = jax.lax.dot(me, p, precision=hi,
                      preferred_element_type=jnp.float32)
-    small = jnp.abs(x3) < MIN_LIKELIHOOD
-    mask = jnp.logical_and(jnp.all(small, axis=0, keepdims=True), valid)
+    mask = jnp.logical_and(
+        jnp.max(jnp.abs(x3), axis=0, keepdims=True) < MIN_LIKELIHOOD, valid)
     x3 = jnp.where(mask, x3 * TWO_TO_THE_32, x3)
     return x3, mask.astype(jnp.int32)
 
