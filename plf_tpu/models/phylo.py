@@ -133,6 +133,7 @@ class PhyloModel:
                                  axis=-1)
         self._wgt_dev = jnp.asarray(wpad[0])      # (n_pad,) zeros on padding
         self._traverse = None
+        self._fused_cache = None
 
     # -- the single-dispatch traversal --------------------------------------
 
@@ -207,6 +208,8 @@ class PhyloModel:
         return depth <= self.FUSED_MAX_LIVE and vmem < 8 * 2 ** 20
 
     def _fused_inputs(self):
+        if self._fused_cache is not None:
+            return self._fused_cache
         cfg = self.config
         S, C = cfg.states, cfg.categories
         sched = reorder_schedule(self.schedule, self.tree.n_leaves)
@@ -220,7 +223,8 @@ class PhyloModel:
         w = self.model.w
         wg = np.concatenate([w, w.sum(axis=1, keepdims=True)], axis=1)
         ttab = jnp.asarray(np.repeat(wg, C, axis=0).astype(np.float32))
-        return sched, lcs, rcs, ttab
+        self._fused_cache = (sched, lcs, rcs, ttab)
+        return self._fused_cache
 
     # Unrolled-kernel node budget: above this, the register-machine
     # (fori_loop) variant compiles in O(1) instead of O(nodes).
