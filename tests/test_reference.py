@@ -98,3 +98,19 @@ def test_golden_model_reproduces_aie_golden_vectors():
     for k in range(S):
         raw += p[:, :, k:k + 1] * v.ev[None, None, k, :]
     np.testing.assert_allclose(raw, v.golden_x3, rtol=2e-6, atol=1e-30)
+
+
+@needs_fixtures
+def test_engine_reproduces_aie_golden_vectors():
+    """BASELINE config 1: the accelerated engine on the reference's own
+    aie/data vectors reproduces golden*.txt (no rescale triggers here, so
+    engine output == the pre-rescale golden lane values)."""
+    from plf_tpu import PLFConfig, PLFEngine
+    v = fixtures.load_window_vectors()
+    eng = PLFEngine(PLFConfig(block_sites=128, interpret=True))
+    out = eng.plf(v.x1, v.x2, v.left, v.right, v.ev)
+    assert int(out.scaler_increment) == 0
+    # atol covers golden entries printed as exact zeros where fp32
+    # evaluation of the 6-decimal text inputs yields ~1e-11 residues.
+    np.testing.assert_allclose(np.asarray(out.x3), v.golden_x3,
+                               rtol=2e-6, atol=1e-9)
