@@ -3,3 +3,4 @@ from .substitution import (SubstitutionModel, jc69, hky85, gtr, random_gtr,
 from .tree import Tree, TreeNode, parse_newick, random_tree
 from .phylo import PhyloModel, TreeLikelihoodResult
 from .optimize import tree_loglik_fn, optimize_branch_lengths
+from .simulate import simulate_alignment

@@ -141,3 +141,25 @@ def test_protein_tree_likelihood():
     out = pm.log_likelihood()
     bf = pm.log_likelihood_bruteforce()
     assert abs(out.log_likelihood - bf) / abs(bf) < 1e-5
+
+
+def test_simulate_alignment_and_likelihood():
+    """Simulated data: valid codes, and the generating tree beats a tree
+    with shuffled branch lengths on likelihood."""
+    from plf_tpu.models import simulate_alignment
+    from plf_tpu.models.tree import Tree, TreeNode
+    tree = random_tree(6, seed=20)
+    model = hky85(2.0, [0.3, 0.2, 0.3, 0.2])
+    tips = simulate_alignment(tree, model, 800, alpha=0.8, seed=3)
+    assert tips.shape == (6, 800)
+    assert tips.min() >= 0 and tips.max() <= 3
+    cfg = PLFConfig(block_sites=128, interpret=True)
+    ll_true = PhyloModel(tree, model, tips, alpha=0.8,
+                         config=cfg).log_likelihood().log_likelihood
+    # same topology, badly perturbed branch lengths
+    nodes = [TreeNode(n.index, n.name, n.length * 20 + 1.0, n.children)
+             for n in tree.nodes]
+    bad = Tree(nodes=nodes, root=tree.root)
+    ll_bad = PhyloModel(bad, model, tips, alpha=0.8,
+                        config=cfg).log_likelihood().log_likelihood
+    assert ll_true > ll_bad
