@@ -209,27 +209,57 @@ def bench_gen(block=8192, n_blocks=256, inner_iters=8, reps=3):
     return node_sites / best
 
 
-def bench_tree(n_sites, n_leaves, block, reps=3):
-    """Fused whole-tree kernel throughput."""
+def bench_tree(n_sites, n_leaves, block, k_pair=(2, 8)):
+    """Fused whole-tree kernel device throughput (slope protocol)."""
+    import jax
+    import jax.numpy as jnp
     from plf_tpu.config import PLFConfig
     from plf_tpu.models import PhyloModel, hky85, random_tree
+    from plf_tpu.ops.plf_tree_pallas import plf_tree_pallas
     tree = random_tree(n_leaves, seed=1)
     rng = np.random.default_rng(0)
     npad = ((n_sites + block - 1) // block) * block
     tips = rng.integers(0, 4, size=(n_leaves, npad))
     pm = PhyloModel(tree, hky85(2.0), tips, alpha=0.5,
                     config=PLFConfig(block_sites=block))
-    pm.log_likelihood(method="fused")
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        pm.log_likelihood(method="fused")
-        best = min(best, time.perf_counter() - t0)
+    sched, lcs, rcs, ttab = pm._fused_inputs()
     nodes = len(pm.schedule)
+    nl = pm.tree.n_leaves
+    interpret = jax.default_backend() != "tpu"
+
+    def chained(K):
+        @jax.jit
+        def f(codes, lcs, rcs, ec, ttab, rr):
+            def body(acc, _):
+                # acc & 0x1 keeps the call loop-variant so XLA can't
+                # hoist the (otherwise invariant) body out of the scan.
+                lik, sc = plf_tree_pallas(
+                    codes, sched, lcs, rcs, ec, ttab, rr,
+                    jnp.int32(npad) - (acc & 1), n_leaves=nl,
+                    block_sites=block, interpret=interpret)
+                return acc + jnp.sum(sc) + jnp.sum(lik[:, :8]).astype(
+                    jnp.int32), ()
+            acc, _ = jax.lax.scan(body, jnp.int32(0), None, length=K)
+            return acc
+        return f
+
+    def timed(K, reps=3):
+        f = chained(K)
+        int(np.asarray(f(pm._codes, lcs, rcs, pm._ec, ttab,
+                         pm._root_rows)))
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            int(np.asarray(f(pm._codes, lcs, rcs, pm._ec, ttab,
+                             pm._root_rows)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    per = (timed(k_pair[1]) - timed(k_pair[0])) / (k_pair[1] - k_pair[0])
     log(f"tree fused ({n_leaves} taxa, {nodes} nodes, {npad} sites): "
-        f"{npad/best/1e9:.3f} Gsites/s tree-evals, "
-        f"{npad*nodes/best/1e9:.3f} Gnode-sites/s")
-    return npad * nodes / best
+        f"per-eval {per*1e3:.2f}ms -> {npad/per/1e9:.3f} Gsites/s "
+        f"tree-evals, {npad*nodes/per/1e9:.3f} Gnode-sites/s")
+    return npad * nodes / per
 
 
 if __name__ == "__main__":
