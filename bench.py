@@ -62,7 +62,7 @@ def make_inputs(n_sites, states, categories, seed=0, variant="vpu"):
     return x1, x2, lc, rc, ec
 
 
-def bench_fused(n_sites=1 << 24, iters=None, block=8192, states=4,
+def bench_fused(n_sites=1 << 24, iters=None, block=16384, states=4,
                 categories=4, variant="vpu", k_pair=(2, 10)):
     """Device sites/s of the fused kernel via the slope protocol.
 
@@ -132,7 +132,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sites", type=int, default=1 << 24)
     ap.add_argument("--iters", type=int, default=None)
-    ap.add_argument("--block", type=int, default=8192)
+    ap.add_argument("--block", type=int, default=16384)
     ap.add_argument("--sweep", action="store_true",
                     help="block-size sweep + protein bench to stderr")
     args = ap.parse_args()
