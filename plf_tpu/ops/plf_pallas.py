@@ -9,10 +9,13 @@ VPU, one HBM write of the parent CLV and the per-site scaler flags.
 
 Design notes (why this shape):
 
-* The PLF is memory-bound (~1.9 fp32 FLOP/byte, see BASELINE.md) so the
-  MXU is useless here — a (BS,4)x(4,4) matmul would occupy 4/128 of the
-  systolic array.  Everything runs on the 8x128 VPU with sites on the lane
-  axis.
+* The default variant runs on the 8x128 VPU with sites on the lane axis
+  (the PLF is ~1.9 fp32 FLOP/byte; naive small matmuls would idle the
+  MXU).  An alternative "mxu" variant expresses the stages as
+  block-structured (rows, rows) matmuls — measured equal-speed on v5e
+  and accurate to 1 ULP rather than bit-exact; "vpu" is the default and
+  the exactness anchor (verified 0 mismatches vs the golden model on
+  hardware).
 
 * CLV blocks use the canonical lane-major layout ``(S*C, BS)`` with row
   ``r = state*C + cat`` (ops/layout.py).  Each of the three stages then only
