@@ -2,6 +2,6 @@ from .substitution import (SubstitutionModel, jc69, hky85, gtr, random_gtr,
                            discrete_gamma_rates, branch_matrices)
 from .tree import Tree, TreeNode, parse_newick, random_tree
 from .phylo import PhyloModel, TreeLikelihoodResult
-from .optimize import tree_loglik_fn, optimize_branch_lengths
+from .optimize import tree_loglik_fn, optimize_branch_lengths, fit_model
 from .simulate import simulate_alignment
 from .search import nni_neighbors, nni_search, SearchResult

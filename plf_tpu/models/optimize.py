@@ -28,7 +28,7 @@ import numpy as np
 from ..reference import MIN_LIKELIHOOD, TWO_TO_THE_32
 from .phylo import LOG_MINLIK, PhyloModel
 
-__all__ = ["tree_loglik_fn", "optimize_branch_lengths"]
+__all__ = ["tree_loglik_fn", "optimize_branch_lengths", "fit_model"]
 
 
 def _plf_stage(x1, x2, left, right, ev, S, C):
@@ -132,3 +132,137 @@ def optimize_branch_lengths(pm: PhyloModel, steps: int = 100,
     t_opt = np.asarray(jnp.exp(log_t) + min_length)
     ll1 = float(fn(jnp.asarray(t_opt)))
     return t_opt, ll0, ll1
+
+
+# ---------------------------------------------------------------------------
+# Full model fitting: GTR exchangeabilities + base frequencies + branch
+# lengths, all by gradient ascent with the eigendecomposition INSIDE the
+# compiled graph (jnp.linalg.eigh is differentiable for the symmetrised
+# reversible form).  The gamma shape alpha stays an outer-loop scalar
+# (its discretisation uses a quantile function with no stable jax grad).
+# ---------------------------------------------------------------------------
+
+
+def _gtr_eigen_jnp(log_rates, logits_pi, S):
+    """Differentiable reversible-Q eigensystem (substitution._make in jnp).
+
+    Returns (lam, u, w, pi).  Caution: exactly degenerate eigenvalues
+    (e.g. literal JC69) make eigh gradients NaN — start from slightly
+    perturbed rates.
+    """
+    rates = jnp.exp(log_rates)
+    pi = jax.nn.softmax(logits_pi)
+    iu = np.triu_indices(S, 1)
+    qsym = jnp.zeros((S, S)).at[iu].set(rates)
+    qsym = qsym + qsym.T
+    q = qsym * pi[None, :]
+    q = q - jnp.diag(jnp.sum(q, axis=1))
+    rate = -jnp.sum(pi * jnp.diag(q))
+    q = q / rate
+    d = jnp.sqrt(pi)
+    b = (q * d[:, None]) / d[None, :]
+    b = 0.5 * (b + b.T)
+    lam, v = jnp.linalg.eigh(b)
+    u = v / d[:, None]
+    w = v.T * d[None, :]
+    return lam, u, w, pi
+
+
+def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
+              min_length: float = 1e-6, fit_lengths: bool = True,
+              seed: int = 0):
+    """Maximum-likelihood fit of GTR rates, frequencies and branch lengths.
+
+    Starts from the PhyloModel's current model/lengths (rates jittered to
+    avoid eigh degeneracies).  Returns
+    ``(fitted SubstitutionModel, fitted lengths, ll_before, ll_after)``.
+    """
+    import optax
+    from .substitution import SubstitutionModel
+
+    cfg = pm.config
+    S, C = cfg.states, cfg.categories
+    schedule = [(p, l, r) for (p, l, r, _, _) in pm.schedule]
+    n_leaves = pm.tree.n_leaves
+    rates_gamma = jnp.asarray(pm.rates, jnp.float32)
+    wgt = jnp.asarray(pm.wgt, jnp.float32)
+    codes = np.where(
+        (pm.tip_states >= 0) & (pm.tip_states < S), pm.tip_states,
+        S).astype(np.int32)
+    codes_dev = jnp.asarray(codes)
+
+    # initial parameters from the current model
+    m0 = pm.model
+    qsym0 = (m0.u * 0)  # placeholder; derive exchangeabilities from Q
+    # Recover symmetric part: q = U diag(lam) W; qsym[i,j] = q[i,j]/pi[j]
+    q0 = (m0.u * m0.eigenvalues[None, :]) @ m0.w
+    iu = np.triu_indices(S, 1)
+    ex0 = np.clip(q0[iu] / m0.pi[iu[1]], 1e-3, None)
+    rng = np.random.default_rng(seed)
+    ex0 = ex0 * np.exp(rng.normal(0, 1e-3, ex0.shape))  # break degeneracy
+    params0 = {
+        "log_rates": jnp.asarray(np.log(ex0), jnp.float32),
+        "logits_pi": jnp.asarray(np.log(m0.pi), jnp.float32),
+        "log_t": jnp.log(jnp.maximum(jnp.asarray(
+            [pm.tree.nodes[i].length for i in range(pm.tree.n_nodes - 1)],
+            dtype=jnp.float32), min_length)),
+    }
+
+    def loglik(params):
+        lam, u, w, pi = _gtr_eigen_jnp(params["log_rates"],
+                                       params["logits_pi"], S)
+        lam = lam.astype(jnp.float32)
+        u = u.astype(jnp.float32)
+        w = w.astype(jnp.float32)
+        t_vec = jnp.exp(params["log_t"]) + min_length
+        if not fit_lengths:
+            t_vec = jax.lax.stop_gradient(t_vec)
+        ev_arr = w.T                               # EVarr[k, a] = W[l? see
+        # substitution.SubstitutionModel.plf_ev: EVarr = w.T
+        wg = jnp.concatenate([w, jnp.sum(w, axis=1, keepdims=True)],
+                             axis=1)               # tip table (S, S+1)
+
+        def tip_clv(leaf):
+            onehot = (codes_dev[leaf][None, :] ==
+                      jnp.arange(S + 1)[:, None]).astype(jnp.float32)
+            x = wg @ onehot                        # (S, n)
+            return jnp.repeat(x[None, :, :], C, axis=0).transpose(2, 0, 1)
+
+        def branch_factor(t):
+            e = jnp.exp(lam[None, :] * t * rates_gamma[:, None])
+            return u[None, :, :] * e[:, None, :]
+
+        clvs = {leaf: tip_clv(leaf) for leaf in range(n_leaves)}
+        scaler = jnp.float32(0.0)
+        for parent, l, r in schedule:
+            x3, sv = _plf_stage(clvs[l], clvs[r], branch_factor(t_vec[l]),
+                                branch_factor(t_vec[r]), ev_arr, S, C)
+            clvs[parent] = x3
+            scaler = scaler + jnp.sum(sv * wgt.astype(jnp.int32))
+        root = clvs[schedule[-1][0]]
+        lik = jnp.mean(root @ (pi @ u), axis=1)
+        site_ll = jnp.log(jnp.maximum(lik, jnp.float32(1e-45)))
+        return jnp.sum(site_ll * wgt) + scaler * jnp.float32(LOG_MINLIK)
+
+    ll0 = float(loglik(params0))
+    opt = optax.adam(learning_rate)
+    state = opt.init(params0)
+
+    @jax.jit
+    def step(params, state):
+        val, g = jax.value_and_grad(lambda p: -loglik(p))(params)
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(params, updates), state, val
+
+    params = params0
+    for _ in range(steps):
+        params, state, _ = step(params, state)
+    ll1 = float(loglik(params))
+
+    # materialise the fitted model on host
+    from .substitution import gtr
+    fitted = gtr(np.exp(np.asarray(params["log_rates"], np.float64)),
+                 np.asarray(jax.nn.softmax(params["logits_pi"]),
+                            np.float64))
+    t_opt = np.asarray(jnp.exp(params["log_t"]) + min_length)
+    return fitted, t_opt, ll0, ll1
