@@ -191,10 +191,9 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
         S).astype(np.int32)
     codes_dev = jnp.asarray(codes)
 
-    # initial parameters from the current model
+    # Initial parameters from the current model: recover the
+    # exchangeabilities from Q = U diag(lam) W via qsym[i,j] = q[i,j]/pi[j].
     m0 = pm.model
-    qsym0 = (m0.u * 0)  # placeholder; derive exchangeabilities from Q
-    # Recover symmetric part: q = U diag(lam) W; qsym[i,j] = q[i,j]/pi[j]
     q0 = (m0.u * m0.eigenvalues[None, :]) @ m0.w
     iu = np.triu_indices(S, 1)
     ex0 = np.clip(q0[iu] / m0.pi[iu[1]], 1e-3, None)
