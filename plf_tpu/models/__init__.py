@@ -4,4 +4,5 @@ from .tree import Tree, TreeNode, parse_newick, random_tree
 from .phylo import PhyloModel, TreeLikelihoodResult
 from .optimize import tree_loglik_fn, optimize_branch_lengths, fit_model
 from .simulate import simulate_alignment
-from .search import nni_neighbors, nni_search, SearchResult
+from .search import (nni_neighbors, nni_search, spr_neighbors, spr_search,
+                     tree_search, SearchResult)

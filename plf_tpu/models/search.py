@@ -1,4 +1,4 @@
-"""Tree topology search: NNI hill climbing on the fused likelihood.
+"""Tree topology search: NNI / SPR hill climbing on the fused likelihood.
 
 The reference accelerates one PLF node update; the application it plugs
 into is maximum-likelihood tree *search* (RAxML).  This module supplies a
@@ -7,9 +7,15 @@ compact version of that loop on top of the TPU engine:
 * :func:`nni_neighbors` — all nearest-neighbour-interchange rearrangements
   of a rooted binary tree (each internal edge yields two alternative
   topologies),
-* :func:`nni_search` — greedy hill climbing: evaluate all neighbours with
-  the fused whole-tree kernel, keep the best, optionally re-optimise
-  branch lengths (models/optimize.py) after each accepted move.
+* :func:`spr_neighbors` — subtree-prune-regraft rearrangements (prune any
+  non-root subtree, regraft onto any other edge), the move set RAxML's
+  "lazy SPR" rounds draw from,
+* :func:`nni_search` / :func:`spr_search` — greedy hill climbing with
+  either move set, optionally re-optimising branch lengths
+  (models/optimize.py) after accepted moves,
+* :func:`tree_search` — the production driver: strategy selection plus
+  checkpoint/resume (utils/checkpoint.py) so long searches survive
+  preemption.
 
 Scoring N neighbour topologies is embarrassingly parallel over trees and
 pointwise over sites; each evaluation is one compiled traversal.  Note
@@ -20,16 +26,17 @@ tree shape; PhyloModel caches compilation per shape.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 from ..config import PLFConfig
 from .phylo import PhyloModel
 from .substitution import SubstitutionModel
-from .tree import Tree, TreeNode
+from .tree import Tree, TreeNode, parse_newick
 
-__all__ = ["nni_neighbors", "nni_search", "SearchResult"]
+__all__ = ["nni_neighbors", "spr_neighbors", "nni_search", "spr_search",
+           "tree_search", "SearchResult"]
 
 
 @dataclasses.dataclass
@@ -40,11 +47,13 @@ class SearchResult:
     evaluations: int
 
 
-def _rebuild(tree: Tree, new_children) -> Tree:
+def _rebuild(tree: Tree, new_children, new_lengths=None) -> Tree:
+    new_lengths = new_lengths or {}
     nodes = []
     for n in tree.nodes:
         ch = new_children.get(n.index, n.children)
-        nodes.append(TreeNode(index=n.index, name=n.name, length=n.length,
+        ln = new_lengths.get(n.index, n.length)
+        nodes.append(TreeNode(index=n.index, name=n.name, length=ln,
                               children=tuple(ch)))
     return Tree(nodes=nodes, root=tree.root)
 
@@ -82,18 +91,88 @@ def nni_neighbors(tree: Tree) -> List[Tree]:
     return out
 
 
-def nni_search(tree: Tree, model: SubstitutionModel, tip_states,
-               wgt=None, alpha: Optional[float] = None,
-               config: Optional[PLFConfig] = None, max_rounds: int = 10,
-               optimize_lengths_every: int = 0,
-               verbose: bool = False) -> SearchResult:
-    """Greedy NNI hill climbing.
+def spr_neighbors(tree: Tree, max_neighbors: Optional[int] = None,
+                  seed: int = 0) -> List[Tree]:
+    """All subtree-prune-regraft rearrangements of a rooted binary tree.
 
-    Evaluates every NNI neighbour per round with the fused tree kernel
-    and moves to the best strictly-improving topology until none improves
-    or ``max_rounds`` is reached.  If ``optimize_lengths_every`` > 0,
-    branch lengths are re-optimised (adam, models/optimize.py) after
-    every that-many accepted moves.
+    For each prunable node ``v`` (neither the root nor a child of the
+    root), detach the subtree rooted at ``v``: its parent ``p`` is removed
+    by splicing ``v``'s sibling ``s`` into ``p``'s place (``s`` absorbs
+    ``p``'s branch length).  Then ``p`` is reinserted into any other edge
+    ``(u, parent(u))`` outside the pruned subtree, splitting ``u``'s
+    branch in half, with ``v`` keeping its own length.  Regrafting onto
+    ``s``'s (new) edge recreates the original topology and is skipped.
+
+    The neighbourhood is O(n^2); ``max_neighbors`` (with ``seed``)
+    subsamples it uniformly — the "lazy SPR" trick for big trees.
+    """
+    parent_of: Dict[int, int] = {}
+    for n in tree.nodes:
+        for c in n.children:
+            parent_of[c] = n.index
+
+    def subtree(v: int) -> set:
+        out, stack = set(), [v]
+        while stack:
+            i = stack.pop()
+            out.add(i)
+            stack.extend(tree.nodes[i].children)
+        return out
+
+    out: List[Tree] = []
+    for vnode in tree.nodes:
+        v = vnode.index
+        if v == tree.root or v not in parent_of:
+            continue
+        p = parent_of[v]
+        if p == tree.root:
+            # Pruning a child of the root would re-root the tree; those
+            # topologies are reachable via moves lower in the tree.
+            continue
+        pnode = tree.nodes[p]
+        sibs = [c for c in pnode.children if c != v]
+        if len(sibs) != 1:
+            continue
+        s = sibs[0]
+        g = parent_of[p]
+        sub = subtree(v)
+        for unode in tree.nodes:
+            u = unode.index
+            if u == tree.root or u in sub or u in (p, s):
+                continue
+            pu = parent_of[u]
+            # Splice s into p's slot under g; insert p on the (u, pu) edge.
+            # When pu == g both edits apply to g's child tuple, in order.
+            children: Dict[int, Tuple[int, ...]] = {}
+            children[g] = tuple(s if c == p else c
+                                for c in tree.nodes[g].children)
+            base = children.get(pu, tree.nodes[pu].children)
+            children[pu] = tuple(p if c == u else c for c in base)
+            children[p] = (v, u)
+            half = unode.length / 2.0
+            lengths = {s: tree.nodes[s].length + pnode.length,
+                       p: half, u: half}
+            out.append(_rebuild(tree, children, lengths))
+    if max_neighbors is not None and len(out) > max_neighbors:
+        rng = np.random.default_rng(seed)
+        keep = rng.choice(len(out), size=max_neighbors, replace=False)
+        out = [out[i] for i in sorted(keep)]
+    return out
+
+
+def _hill_climb(tree: Tree, model: SubstitutionModel, tip_states,
+                neighbors_fn, wgt=None, alpha: Optional[float] = None,
+                config: Optional[PLFConfig] = None, max_rounds: int = 10,
+                optimize_lengths_every: int = 0, verbose: bool = False,
+                on_round=None, start_round: int = 0,
+                start_accepted: int = 0, start_evals: Optional[int] = None
+                ) -> SearchResult:
+    """Greedy hill climbing over an arbitrary move set.
+
+    Evaluates every neighbour per round with the fused tree kernel and
+    moves to the best strictly-improving topology until none improves or
+    ``max_rounds`` is reached.  ``on_round(round, result)`` fires after
+    every round (checkpoint hook).
     """
 
     def ll_of(t: Tree) -> float:
@@ -103,13 +182,12 @@ def nni_search(tree: Tree, model: SubstitutionModel, tip_states,
 
     current = tree
     best_ll = ll_of(current)
-    accepted = 0
-    evals = 1
-    for _ in range(max_rounds):
-        improved = False
+    accepted = start_accepted
+    evals = start_evals if start_evals is not None else 1
+    for rnd in range(start_round, max_rounds):
         best_move = None
         best_move_ll = best_ll
-        for cand in nni_neighbors(current):
+        for cand in neighbors_fn(current):
             ll = ll_of(cand)
             evals += 1
             if ll > best_move_ll + 1e-9:
@@ -119,21 +197,113 @@ def nni_search(tree: Tree, model: SubstitutionModel, tip_states,
             break
         current, best_ll = best_move, best_move_ll
         accepted += 1
-        improved = True
         if verbose:
-            print(f"NNI move {accepted}: ll={best_ll:.4f}")
+            print(f"move {accepted}: ll={best_ll:.4f}")
         if optimize_lengths_every and accepted % optimize_lengths_every == 0:
-            from .optimize import optimize_branch_lengths, tree_loglik_fn
+            from .optimize import optimize_branch_lengths
             pm = PhyloModel(current, model, tip_states, wgt=wgt,
                             alpha=alpha, config=config)
-            t_opt, _, ll_opt = optimize_branch_lengths(pm, steps=40)
+            t_opt, _, _ = optimize_branch_lengths(pm, steps=40)
             nodes = [TreeNode(n.index, n.name,
                               float(t_opt[n.index]) if n.index < len(t_opt)
                               else n.length, n.children)
                      for n in current.nodes]
             current = Tree(nodes=nodes, root=current.root)
             best_ll = ll_of(current)
-        if not improved:
-            break
+        if on_round is not None:
+            on_round(rnd, SearchResult(current, best_ll, accepted, evals))
     return SearchResult(tree=current, log_likelihood=best_ll,
                         accepted_moves=accepted, evaluations=evals)
+
+
+def nni_search(tree: Tree, model: SubstitutionModel, tip_states,
+               wgt=None, alpha: Optional[float] = None,
+               config: Optional[PLFConfig] = None, max_rounds: int = 10,
+               optimize_lengths_every: int = 0,
+               verbose: bool = False) -> SearchResult:
+    """Greedy NNI hill climbing (see :func:`_hill_climb`)."""
+    return _hill_climb(tree, model, tip_states, nni_neighbors, wgt=wgt,
+                       alpha=alpha, config=config, max_rounds=max_rounds,
+                       optimize_lengths_every=optimize_lengths_every,
+                       verbose=verbose)
+
+
+def spr_search(tree: Tree, model: SubstitutionModel, tip_states,
+               wgt=None, alpha: Optional[float] = None,
+               config: Optional[PLFConfig] = None, max_rounds: int = 10,
+               optimize_lengths_every: int = 0,
+               max_neighbors: Optional[int] = None,
+               verbose: bool = False) -> SearchResult:
+    """Greedy SPR hill climbing; ``max_neighbors`` subsamples the O(n^2)
+    neighbourhood per round (lazy SPR)."""
+
+    def neigh(t: Tree) -> List[Tree]:
+        return spr_neighbors(t, max_neighbors=max_neighbors)
+
+    return _hill_climb(tree, model, tip_states, neigh, wgt=wgt,
+                       alpha=alpha, config=config, max_rounds=max_rounds,
+                       optimize_lengths_every=optimize_lengths_every,
+                       verbose=verbose)
+
+
+def tree_search(tree: Tree, model: SubstitutionModel, tip_states,
+                wgt=None, alpha: Optional[float] = None,
+                config: Optional[PLFConfig] = None,
+                strategy: str = "nni", max_rounds: int = 10,
+                optimize_lengths_every: int = 0,
+                max_neighbors: Optional[int] = None,
+                checkpoint_path: Optional[str] = None,
+                verbose: bool = False) -> SearchResult:
+    """Production search driver: strategy selection + checkpoint/resume.
+
+    ``strategy``: "nni", "spr", or "mixed" (SPR rounds, then NNI polish).
+    With ``checkpoint_path``, the search state (current tree as newick,
+    ll, round/accepted/eval counters) is snapshotted after every round
+    and resumed if the file exists — tip rows are re-matched BY LEAF NAME
+    because newick reparsing renumbers leaves.
+    """
+    from ..utils.checkpoint import (checkpoint_exists, load_checkpoint,
+                                    save_checkpoint)
+
+    tips = np.asarray(tip_states)
+    start_round = start_accepted = 0
+    start_evals = None
+    if checkpoint_path and checkpoint_exists(checkpoint_path):
+        _, meta = load_checkpoint(checkpoint_path)
+        resumed = parse_newick(meta["newick"])
+        name_to_row = {(n.name or f"t{n.index}"): n.index
+                       for n in tree.nodes if n.is_leaf}
+        perm = [name_to_row[nm] for nm in resumed.leaf_names()]
+        tips = tips[perm]
+        tree = resumed
+        start_round = int(meta["round"]) + 1
+        start_accepted = int(meta["accepted"])
+        start_evals = int(meta["evaluations"])
+        if verbose:
+            print(f"resumed search at round {start_round} "
+                  f"(ll={meta['log_likelihood']:.4f})")
+
+    def on_round(rnd: int, res: SearchResult) -> None:
+        if checkpoint_path:
+            save_checkpoint(checkpoint_path, {}, meta={
+                "newick": res.tree.to_newick(),
+                "log_likelihood": res.log_likelihood,
+                "round": rnd, "accepted": res.accepted_moves,
+                "evaluations": res.evaluations, "strategy": strategy})
+
+    if strategy == "nni":
+        neigh = nni_neighbors
+    elif strategy == "spr":
+        neigh = lambda t: spr_neighbors(t, max_neighbors=max_neighbors)
+    elif strategy == "mixed":
+        neigh = lambda t: (spr_neighbors(t, max_neighbors=max_neighbors)
+                           + nni_neighbors(t))
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return _hill_climb(tree, model, tips, neigh, wgt=wgt, alpha=alpha,
+                       config=config, max_rounds=max_rounds,
+                       optimize_lengths_every=optimize_lengths_every,
+                       verbose=verbose, on_round=on_round,
+                       start_round=start_round,
+                       start_accepted=start_accepted,
+                       start_evals=start_evals)

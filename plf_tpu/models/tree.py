@@ -80,6 +80,26 @@ class Tree:
             out.append((idx, l, r, self.nodes[l].length, self.nodes[r].length))
         return out
 
+    def to_newick(self, include_root_length: bool = False) -> str:
+        """Serialise to newick (inverse of :func:`parse_newick`).
+
+        Leaves without a name get ``t<index>`` so the string round-trips
+        to an equivalent tree (same leaf labels, same branch lengths,
+        same topology; leaf *indices* follow newick order after reparse —
+        match by name when resuming from a serialised tree).
+        """
+        def rec(i: int, at_root: bool) -> str:
+            n = self.nodes[i]
+            if n.is_leaf:
+                return f"{n.name or f't{i}'}:{n.length:.17g}"
+            inner = ",".join(rec(c, False) for c in n.children)
+            label = n.name or ""
+            if at_root and not include_root_length:
+                return f"({inner}){label}"
+            return f"({inner}){label}:{n.length:.17g}"
+
+        return rec(self.root, True) + ";"
+
     def levels(self) -> List[List[int]]:
         """Group internal nodes into dependency levels (batchable waves)."""
         depth: Dict[int, int] = {}

@@ -50,3 +50,106 @@ def test_nni_search_recovers_better_topology():
     res = nni_search(start, model, tips, config=cfg, max_rounds=3)
     assert res.log_likelihood >= ll_start
     assert res.evaluations > 1
+
+
+# ---------------------------------------------------------------------------
+# SPR + unified search driver
+# ---------------------------------------------------------------------------
+
+from plf_tpu.models import spr_neighbors, spr_search, tree_search
+
+
+def _leaf_multiset(t):
+    seen = []
+    for p, l, r, _, _ in t.schedule():
+        for c in (l, r):
+            if c < t.n_leaves:
+                seen.append(c)
+    return sorted(seen)
+
+
+def test_spr_neighbors_valid_trees():
+    tree = random_tree(7, seed=3)
+    neigh = spr_neighbors(tree)
+    assert len(neigh) > len(nni_neighbors(tree))  # SPR superset in size
+    for t in neigh:
+        assert t.n_leaves == 7
+        sched = t.schedule()
+        assert len(sched) == 6          # still binary, same node count
+        assert _leaf_multiset(t) == list(range(7))
+
+
+def test_spr_neighbors_preserve_total_length():
+    tree = random_tree(6, seed=5)
+    total = sum(n.length for n in tree.nodes)
+    for t in spr_neighbors(tree):
+        assert np.isclose(sum(n.length for n in t.nodes), total, rtol=1e-6)
+
+
+def test_spr_subsample():
+    tree = random_tree(8, seed=2)
+    full = spr_neighbors(tree)
+    sub = spr_neighbors(tree, max_neighbors=5, seed=1)
+    assert len(sub) == 5 < len(full)
+
+
+def test_newick_roundtrip_likelihood():
+    """to_newick -> parse_newick preserves the likelihood (leaf rows
+    re-matched by name)."""
+    from plf_tpu.models import PhyloModel
+    tree = random_tree(6, seed=11, mean_branch=0.15)
+    model = hky85(1.7, [0.28, 0.22, 0.26, 0.24])
+    tips = simulate_alignment(tree, model, 300, seed=4)
+    cfg = PLFConfig(block_sites=128, interpret=True)
+    ll0 = PhyloModel(tree, model, tips, config=cfg
+                     ).log_likelihood().log_likelihood
+    t2 = parse_newick(tree.to_newick())
+    name_to_row = {(n.name or f"t{n.index}"): n.index
+                   for n in tree.nodes if n.is_leaf}
+    perm = [name_to_row[nm] for nm in t2.leaf_names()]
+    ll1 = PhyloModel(t2, model, tips[perm], config=cfg
+                     ).log_likelihood().log_likelihood
+    assert np.isclose(ll0, ll1, rtol=1e-6)
+
+
+def test_spr_search_improves():
+    true_tree = random_tree(6, seed=9, mean_branch=0.2)
+    model = hky85(2.0)
+    tips = simulate_alignment(true_tree, model, 256, seed=6)
+    cfg = PLFConfig(block_sites=128, interpret=True)
+    nwk = "t0:0.1"
+    for i in range(1, 6):
+        nwk = f"({nwk},t{i}:0.1):0.1"
+    start = parse_newick(nwk + ";")
+    from plf_tpu.models import PhyloModel
+    ll_start = PhyloModel(start, model, tips,
+                          config=cfg).log_likelihood().log_likelihood
+    res = spr_search(start, model, tips, config=cfg, max_rounds=1,
+                     max_neighbors=12)
+    assert res.log_likelihood >= ll_start
+    assert res.evaluations > 1
+
+
+def test_tree_search_checkpoint_resume(tmp_path):
+    """A checkpointed search resumed from round k reaches the same tree
+    as an uninterrupted run."""
+    true_tree = random_tree(5, seed=13, mean_branch=0.25)
+    model = hky85(2.0)
+    tips = simulate_alignment(true_tree, model, 300, seed=8)
+    cfg = PLFConfig(block_sites=128, interpret=True)
+    nwk = "t0:0.1"
+    for i in range(1, 5):
+        nwk = f"({nwk},t{i}:0.1):0.1"
+    start = parse_newick(nwk + ";")
+
+    full = tree_search(start, model, tips, config=cfg, strategy="nni",
+                       max_rounds=4)
+
+    ckpt = str(tmp_path / "search.npz")
+    tree_search(start, model, tips, config=cfg, strategy="nni",
+                max_rounds=1, checkpoint_path=ckpt)   # interrupted run
+    resumed = tree_search(start, model, tips, config=cfg, strategy="nni",
+                          max_rounds=4, checkpoint_path=ckpt)
+    assert np.isclose(resumed.log_likelihood, full.log_likelihood,
+                      rtol=1e-9)
+    assert resumed.accepted_moves == full.accepted_moves
