@@ -2,7 +2,8 @@ from .substitution import (SubstitutionModel, jc69, hky85, gtr, random_gtr,
                            discrete_gamma_rates, branch_matrices)
 from .tree import Tree, TreeNode, parse_newick, random_tree
 from .phylo import PhyloModel, TreeLikelihoodResult
-from .optimize import tree_loglik_fn, optimize_branch_lengths, fit_model
+from .optimize import (tree_loglik_fn, optimize_branch_lengths,
+                       optimize_alpha, fit_model)
 from .simulate import simulate_alignment
 from .search import (nni_neighbors, nni_search, spr_neighbors, spr_search,
                      tree_search, SearchResult)

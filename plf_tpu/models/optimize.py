@@ -28,7 +28,8 @@ import numpy as np
 from ..reference import MIN_LIKELIHOOD, TWO_TO_THE_32
 from .phylo import LOG_MINLIK, PhyloModel
 
-__all__ = ["tree_loglik_fn", "optimize_branch_lengths", "fit_model"]
+__all__ = ["tree_loglik_fn", "optimize_branch_lengths", "optimize_alpha",
+           "fit_model"]
 
 
 def _plf_stage(x1, x2, left, right, ev, S, C):
@@ -47,12 +48,15 @@ def _plf_stage(x1, x2, left, right, ev, S, C):
     return x3, mask.astype(jnp.int32)
 
 
-def tree_loglik_fn(pm: PhyloModel):
+def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False):
     """Build ``(branch_lengths) -> log_likelihood`` as a pure jittable fn.
 
     ``branch_lengths``: (n_nodes-1,) vector indexed by child node (every
     node except the root owns the branch to its parent).  Returns
-    (fn, t0) with t0 the tree's current lengths.
+    (fn, t0) with t0 the tree's current lengths.  With ``with_rates`` the
+    fn signature is ``(t_vec, rates)`` — the (C,) gamma category rates
+    become a traced input (one compilation serves every alpha during a
+    gamma-shape line search).
     """
     cfg = pm.config
     S, C = cfg.states, cfg.categories
@@ -77,17 +81,17 @@ def tree_loglik_fn(pm: PhyloModel):
     t0 = np.array([pm.tree.nodes[i].length
                    for i in range(pm.tree.n_nodes - 1)], np.float32)
 
-    def branch_factor(t):
+    def branch_factor(t, r_vec):
         """(C, S, S) factor: u[k, a] * exp(lam_a * t * r_c)."""
-        e = jnp.exp(lam[None, :] * t * rates[:, None])   # (C, S)
+        e = jnp.exp(lam[None, :] * t * r_vec[:, None])   # (C, S)
         return u[None, :, :] * e[:, None, :]
 
-    def loglik(t_vec):
+    def loglik_rates(t_vec, r_vec):
         clvs = dict(tips)
         scaler = jnp.float32(0.0)
         for parent, l, r in schedule:
-            left = branch_factor(t_vec[l])
-            right = branch_factor(t_vec[r])
+            left = branch_factor(t_vec[l], r_vec)
+            right = branch_factor(t_vec[r], r_vec)
             x3, sv = _plf_stage(clvs[l], clvs[r], left, right, ev_arr,
                                 S, C)
             clvs[parent] = x3
@@ -97,7 +101,9 @@ def tree_loglik_fn(pm: PhyloModel):
         site_ll = jnp.log(jnp.maximum(lik, jnp.float32(1e-45)))
         return jnp.sum(site_ll * wgt) + scaler * jnp.float32(LOG_MINLIK)
 
-    return jax.jit(loglik), t0
+    if with_rates:
+        return jax.jit(loglik_rates), t0
+    return jax.jit(lambda t_vec: loglik_rates(t_vec, rates)), t0
 
 
 def optimize_branch_lengths(pm: PhyloModel, steps: int = 100,
@@ -132,6 +138,55 @@ def optimize_branch_lengths(pm: PhyloModel, steps: int = 100,
     t_opt = np.asarray(jnp.exp(log_t) + min_length)
     ll1 = float(fn(jnp.asarray(t_opt)))
     return t_opt, ll0, ll1
+
+
+def _golden_section(f, lo: float, hi: float, iters: int = 30):
+    """Maximise a unimodal scalar function on [lo, hi]."""
+    invphi = (np.sqrt(5.0) - 1.0) / 2.0
+    a, b = lo, hi
+    c = b - invphi * (b - a)
+    d = a + invphi * (b - a)
+    fc, fd = f(c), f(d)
+    for _ in range(iters):
+        if fc > fd:
+            b, d, fd = d, c, fc
+            c = b - invphi * (b - a)
+            fc = f(c)
+        else:
+            a, c, fc = c, d, fd
+            d = a + invphi * (b - a)
+            fd = f(d)
+    x = (a + b) / 2.0
+    return x, f(x)
+
+
+def optimize_alpha(pm: PhyloModel, alpha_bounds=(0.02, 100.0),
+                   iters: int = 30) -> Tuple[float, float, float]:
+    """Maximum-likelihood gamma shape (alpha) at fixed tree and lengths.
+
+    Golden-section search in log-alpha (RAxML optimises alpha with Brent
+    on the same 1-D profile).  The discrete-gamma quantile discretisation
+    runs on host per candidate; the tree likelihood is ONE compiled
+    function of the (C,) rate vector, so the line search costs ~``iters``
+    device calls and a single compilation.
+
+    Returns (alpha_hat, ll_before, ll_after); ``ll_before`` uses the
+    PhyloModel's current rates.
+    """
+    from .substitution import discrete_gamma_rates
+
+    C = pm.config.categories
+    fn, t0 = tree_loglik_fn(pm, with_rates=True)
+    t_dev = jnp.asarray(t0)
+    ll0 = float(fn(t_dev, jnp.asarray(pm.rates, jnp.float32)))
+
+    def ll_of_log_alpha(la: float) -> float:
+        r = discrete_gamma_rates(float(np.exp(la)), C)
+        return float(fn(t_dev, jnp.asarray(r, jnp.float32)))
+
+    la, ll1 = _golden_section(ll_of_log_alpha, np.log(alpha_bounds[0]),
+                              np.log(alpha_bounds[1]), iters)
+    return float(np.exp(la)), ll0, ll1
 
 
 # ---------------------------------------------------------------------------
@@ -170,12 +225,21 @@ def _gtr_eigen_jnp(log_rates, logits_pi, S):
 
 def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
               min_length: float = 1e-6, fit_lengths: bool = True,
-              seed: int = 0):
+              fit_alpha: bool = False, alpha_rounds: int = 2,
+              alpha_bounds=(0.02, 100.0), seed: int = 0):
     """Maximum-likelihood fit of GTR rates, frequencies and branch lengths.
 
     Starts from the PhyloModel's current model/lengths (rates jittered to
     avoid eigh degeneracies).  Returns
     ``(fitted SubstitutionModel, fitted lengths, ll_before, ll_after)``.
+
+    With ``fit_alpha`` the gamma shape is fitted too, by coordinate
+    descent: the adam steps split into ``alpha_rounds`` epochs with a
+    golden-section alpha line search after each (the discretisation's
+    quantile function has no stable jax gradient, so alpha stays an
+    outer-loop scalar; every line-search step reuses the one compiled
+    likelihood because the (C,) rate vector is a traced input).  With
+    ``fit_alpha`` the return gains a fifth element: ``(..., alpha_hat)``.
     """
     import optax
     from .substitution import SubstitutionModel
@@ -207,7 +271,7 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
             dtype=jnp.float32), min_length)),
     }
 
-    def loglik(params):
+    def loglik(params, rates_gamma):
         lam, u, w, pi = _gtr_eigen_jnp(params["log_rates"],
                                        params["logits_pi"], S)
         lam = lam.astype(jnp.float32)
@@ -243,20 +307,41 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
         site_ll = jnp.log(jnp.maximum(lik, jnp.float32(1e-45)))
         return jnp.sum(site_ll * wgt) + scaler * jnp.float32(LOG_MINLIK)
 
-    ll0 = float(loglik(params0))
+    loglik_c = jax.jit(loglik)
+    rg = rates_gamma
+    ll0 = float(loglik_c(params0, rg))
     opt = optax.adam(learning_rate)
     state = opt.init(params0)
 
     @jax.jit
-    def step(params, state):
-        val, g = jax.value_and_grad(lambda p: -loglik(p))(params)
+    def step(params, state, rg):
+        val, g = jax.value_and_grad(lambda p: -loglik(p, rg))(params)
         updates, state = opt.update(g, state)
         return optax.apply_updates(params, updates), state, val
 
     params = params0
-    for _ in range(steps):
-        params, state, _ = step(params, state)
-    ll1 = float(loglik(params))
+    alpha_hat = None
+    if fit_alpha:
+        from .substitution import discrete_gamma_rates
+        epochs = max(1, alpha_rounds)
+        per = max(1, steps // epochs)
+        for _ in range(epochs):
+            for _ in range(per):
+                params, state, _ = step(params, state, rg)
+
+            def ll_of_la(la, params=params):
+                r = discrete_gamma_rates(float(np.exp(la)), C)
+                return float(loglik_c(params, jnp.asarray(r, jnp.float32)))
+
+            la, _ = _golden_section(ll_of_la, np.log(alpha_bounds[0]),
+                                    np.log(alpha_bounds[1]), iters=25)
+            alpha_hat = float(np.exp(la))
+            rg = jnp.asarray(discrete_gamma_rates(alpha_hat, C),
+                             jnp.float32)
+    else:
+        for _ in range(steps):
+            params, state, _ = step(params, state, rg)
+    ll1 = float(loglik_c(params, rg))
 
     # materialise the fitted model on host
     from .substitution import gtr
@@ -264,4 +349,6 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
                  np.asarray(jax.nn.softmax(params["logits_pi"]),
                             np.float64))
     t_opt = np.asarray(jnp.exp(params["log_t"]) + min_length)
+    if fit_alpha:
+        return fitted, t_opt, ll0, ll1, alpha_hat
     return fitted, t_opt, ll0, ll1

@@ -70,3 +70,46 @@ def test_fit_model_improves_likelihood():
     err0 = np.abs(np.asarray(wrong.pi) - true_model.pi).sum()
     err1 = np.abs(np.asarray(fitted.pi) - true_model.pi).sum()
     assert err1 < err0
+
+
+# ---------------------------------------------------------------------------
+# Gamma shape (alpha) optimisation
+# ---------------------------------------------------------------------------
+
+
+def test_optimize_alpha_recovers_shape():
+    """Alpha fitted on data simulated with a known shape should land
+    nearer the truth than the (wrong) starting value, and improve ll."""
+    from plf_tpu.models import optimize_alpha, simulate_alignment
+    true_alpha = 0.4
+    tree = random_tree(6, seed=21, mean_branch=0.3)
+    model = hky85(2.0, [0.3, 0.2, 0.3, 0.2])
+    tips = simulate_alignment(tree, model, 2000, alpha=true_alpha, seed=5)
+    cfg = PLFConfig(block_sites=512, interpret=True)
+    pm = PhyloModel(tree, model, tips, alpha=5.0, config=cfg)  # wrong start
+    a_hat, ll0, ll1 = optimize_alpha(pm, iters=25)
+    assert ll1 > ll0
+    assert abs(np.log(a_hat) - np.log(true_alpha)) < abs(
+        np.log(5.0) - np.log(true_alpha))
+
+
+def test_tree_loglik_fn_with_rates_matches_fixed():
+    pm = _phylo()
+    fn_fixed, t0 = tree_loglik_fn(pm)
+    fn_rates, _ = tree_loglik_fn(pm, with_rates=True)
+    r = jnp.asarray(pm.rates, jnp.float32)
+    assert float(fn_fixed(jnp.asarray(t0))) == float(
+        fn_rates(jnp.asarray(t0), r))
+
+
+def test_fit_model_with_alpha():
+    from plf_tpu.models import fit_model, simulate_alignment
+    tree = random_tree(5, seed=31, mean_branch=0.2)
+    model = hky85(2.0)
+    tips = simulate_alignment(tree, model, 500, alpha=0.5, seed=9)
+    cfg = PLFConfig(block_sites=128, interpret=True)
+    pm = PhyloModel(tree, model, tips, alpha=2.0, config=cfg)
+    fitted, t_opt, ll0, ll1, a_hat = fit_model(
+        pm, steps=40, learning_rate=0.05, fit_alpha=True, alpha_rounds=2)
+    assert ll1 > ll0
+    assert 0.02 < a_hat < 100.0
