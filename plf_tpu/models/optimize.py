@@ -86,20 +86,31 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False):
         e = jnp.exp(lam[None, :] * t * r_vec[:, None])   # (C, S)
         return u[None, :, :] * e[:, None, :]
 
+    asc = pm.ascertainment == "lewis"
+    d0 = pm.n_sites_obs
+    w_total = float(np.sum(pm.wgt))
+
     def loglik_rates(t_vec, r_vec):
         clvs = dict(tips)
-        scaler = jnp.float32(0.0)
+        scaler_sites = jnp.zeros((n,), jnp.int32)
         for parent, l, r in schedule:
             left = branch_factor(t_vec[l], r_vec)
             right = branch_factor(t_vec[r], r_vec)
             x3, sv = _plf_stage(clvs[l], clvs[r], left, right, ev_arr,
                                 S, C)
             clvs[parent] = x3
-            scaler = scaler + jnp.sum(sv * wgt.astype(jnp.int32))
+            scaler_sites = scaler_sites + sv
         root = clvs[schedule[-1][0]]
         lik = jnp.mean(root @ pi_u, axis=1)              # (n,)
         site_ll = jnp.log(jnp.maximum(lik, jnp.float32(1e-45)))
-        return jnp.sum(site_ll * wgt) + scaler * jnp.float32(LOG_MINLIK)
+        scaler = jnp.sum(scaler_sites * wgt.astype(jnp.int32))
+        ll = jnp.sum(site_ll * wgt) + scaler * jnp.float32(LOG_MINLIK)
+        if asc:
+            log_pc = (site_ll[d0:]
+                      + scaler_sites[d0:] * jnp.float32(LOG_MINLIK))
+            p_const = jnp.sum(jnp.exp(log_pc))
+            ll = ll - w_total * jnp.log1p(-p_const)
+        return ll
 
     if with_rates:
         return jax.jit(loglik_rates), t0
@@ -296,16 +307,24 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
             return u[None, :, :] * e[:, None, :]
 
         clvs = {leaf: tip_clv(leaf) for leaf in range(n_leaves)}
-        scaler = jnp.float32(0.0)
+        scaler_sites = jnp.zeros((pm.n_sites,), jnp.int32)
         for parent, l, r in schedule:
             x3, sv = _plf_stage(clvs[l], clvs[r], branch_factor(t_vec[l]),
                                 branch_factor(t_vec[r]), ev_arr, S, C)
             clvs[parent] = x3
-            scaler = scaler + jnp.sum(sv * wgt.astype(jnp.int32))
+            scaler_sites = scaler_sites + sv
         root = clvs[schedule[-1][0]]
         lik = jnp.mean(root @ (pi @ u), axis=1)
         site_ll = jnp.log(jnp.maximum(lik, jnp.float32(1e-45)))
-        return jnp.sum(site_ll * wgt) + scaler * jnp.float32(LOG_MINLIK)
+        scaler = jnp.sum(scaler_sites * wgt.astype(jnp.int32))
+        ll = jnp.sum(site_ll * wgt) + scaler * jnp.float32(LOG_MINLIK)
+        if pm.ascertainment == "lewis":
+            log_pc = (site_ll[pm.n_sites_obs:]
+                      + scaler_sites[pm.n_sites_obs:]
+                      * jnp.float32(LOG_MINLIK))
+            ll = ll - float(np.sum(pm.wgt)) * jnp.log1p(
+                -jnp.sum(jnp.exp(log_pc)))
+        return ll
 
     loglik_c = jax.jit(loglik)
     rg = rates_gamma

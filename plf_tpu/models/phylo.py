@@ -65,7 +65,8 @@ class PhyloModel:
     def __init__(self, tree: Tree, model: SubstitutionModel,
                  tip_states: np.ndarray, wgt: Optional[np.ndarray] = None,
                  alpha: Optional[float] = None,
-                 config: Optional[PLFConfig] = None):
+                 config: Optional[PLFConfig] = None,
+                 ascertainment: Optional[str] = None):
         """
         Args:
           tip_states: (n_leaves, n_sites) int array of observed states per
@@ -73,6 +74,14 @@ class PhyloModel:
             out-of-range/negative values = gap/ambiguous.
           wgt: (n_sites,) site pattern weights (RAxML wgt, plf.cpp:63).
           alpha: gamma shape; None = uniform rates.
+          ascertainment: None or "lewis" — Lewis (2001) correction for
+            variable-sites-only alignments: the likelihood conditions on
+            the site being variable, ll_s -= log(1 - p_const) with
+            p_const the summed probability of the S constant site
+            patterns.  Implemented by appending S zero-weight constant
+            dummy sites to the alignment; every evaluation path (fused,
+            per-node, sharded, and the differentiable optimisers) applies
+            the correction from their likelihoods.
         """
         self.tree = tree
         self.model = model
@@ -81,9 +90,20 @@ class PhyloModel:
             cfg = dataclasses.replace(cfg, states=model.states)
         self.config = cfg
         self.tip_states = np.asarray(tip_states)
-        self.n_sites = int(self.tip_states.shape[1])
-        self.wgt = (np.ones(self.n_sites, np.int32) if wgt is None
+        self.n_sites_obs = int(self.tip_states.shape[1])
+        self.wgt = (np.ones(self.n_sites_obs, np.int32) if wgt is None
                     else np.asarray(wgt, np.int32))
+        if ascertainment not in (None, "lewis"):
+            raise ValueError(f"unknown ascertainment {ascertainment!r}")
+        self.ascertainment = ascertainment
+        if ascertainment == "lewis":
+            S_ = model.states
+            const = np.tile(np.arange(S_, dtype=self.tip_states.dtype),
+                            (self.tip_states.shape[0], 1))
+            self.tip_states = np.concatenate([self.tip_states, const],
+                                             axis=1)
+            self.wgt = np.concatenate([self.wgt, np.zeros(S_, np.int32)])
+        self.n_sites = int(self.tip_states.shape[1])
         if alpha is None:
             self.rates = np.ones(cfg.categories)
         else:
@@ -156,7 +176,7 @@ class PhyloModel:
 
         def traverse(codes, lcs, rcs, ec, tip_table, wgt):
             clvs: Dict[int, jax.Array] = {}
-            scaler_total = jnp.int32(0)
+            scaler_sites = jnp.zeros((n_pad,), jnp.int32)
             for e, (parent, lc_i, rc_i, _, _) in enumerate(schedule):
                 childs = []
                 for ch in (lc_i, rc_i):
@@ -170,9 +190,9 @@ class PhyloModel:
                         states=S, categories=C,
                         block_sites=cfg.block_sites, interpret=interpret,
                         variant=cfg.kernel_variant)
-                    inc = jnp.sum(sc[0] * wgt)
+                    scaler_sites = scaler_sites + sc[0]
                 else:
-                    x3s, scs, inc = plf_xla(
+                    x3s, scs, _ = plf_xla(
                         L.from_lane_major(x1, S, C),
                         L.from_lane_major(x2, S, C),
                         _unlane_branch(lcs[e], S, C),
@@ -180,17 +200,52 @@ class PhyloModel:
                         _unlane_ev(ec, S, C), wgt,
                         states=S, categories=C)
                     x3 = L.to_lane_major(x3s, S, C)
-                    inc = inc
-                scaler_total = scaler_total + inc
+                    scaler_sites = scaler_sites + scs.astype(jnp.int32)
                 clvs[parent] = x3
                 for ch in (lc_i, rc_i):
                     if ch >= n_leaves:
                         del clvs[ch]
             x_root = clvs[root]
             lik = (self._root_rows @ x_root)[0]          # (n_pad,)
-            return lik, scaler_total, x_root
+            scaler_total = jnp.sum(scaler_sites * wgt)
+            return lik, scaler_sites, scaler_total, x_root
 
         return jax.jit(traverse)
+
+    # -- ascertainment correction ------------------------------------------
+
+    def _asc_log_one_minus_pconst(self, lik_pad: np.ndarray,
+                                  sc_sites: np.ndarray) -> float:
+        """log(1 - p_const) from the S dummy constant-site likelihoods.
+
+        ``lik_pad``/``sc_sites``: padded per-site likelihood and rescale
+        counts; dummy sites occupy [n_sites_obs, n_sites).  True site
+        probability = lik * 2^(-32*count), assembled in log space.
+        """
+        d0, d1 = self.n_sites_obs, self.n_sites
+        log_pc = (np.log(np.asarray(lik_pad[d0:d1], np.float64))
+                  + np.asarray(sc_sites[d0:d1], np.float64) * LOG_MINLIK)
+        p_const = float(np.exp(log_pc).sum())
+        if p_const >= 1.0:
+            raise FloatingPointError(
+                f"ascertainment correction degenerate: p_const={p_const}")
+        return float(np.log1p(-p_const))
+
+    def _finalise_ll(self, lik_pad: np.ndarray, sc_sites, scaler_total: int
+                     ) -> TreeLikelihoodResult:
+        """Host-side fp64 log/sum + optional ascertainment correction."""
+        n_obs = self.n_sites_obs
+        lik_h = np.asarray(lik_pad, dtype=np.float64)
+        site_ll = np.log(lik_h[:n_obs])
+        corr = 0.0
+        if self.ascertainment == "lewis":
+            corr = self._asc_log_one_minus_pconst(lik_h, sc_sites)
+            site_ll = site_ll - corr
+        ll = float(np.sum(site_ll * self.wgt[:n_obs])
+                   + scaler_total * LOG_MINLIK)
+        return TreeLikelihoodResult(
+            log_likelihood=ll, site_log_likelihood=site_ll,
+            scaler_total=int(scaler_total), root_clv=None)
 
     # -- fused whole-tree kernel --------------------------------------------
 
@@ -254,15 +309,10 @@ class PhyloModel:
                 n_leaves=self.tree.n_leaves, states=cfg.states,
                 categories=cfg.categories, block_sites=cfg.block_sites,
                 interpret=interpret, variant=cfg.kernel_variant)
-        n = self.n_sites
         scaler_total = int(np.asarray(
             jnp.sum(sc[0] * self._wgt_dev)))
-        lik_h = np.asarray(lik, dtype=np.float64)[0, :n]
-        site_ll = np.log(lik_h)
-        ll = float(np.sum(site_ll * self.wgt) + scaler_total * LOG_MINLIK)
-        return TreeLikelihoodResult(
-            log_likelihood=ll, site_log_likelihood=site_ll,
-            scaler_total=scaler_total, root_clv=None)
+        return self._finalise_ll(np.asarray(lik)[0], np.asarray(sc)[0],
+                                 scaler_total)
 
     # -- evaluation ----------------------------------------------------------
 
@@ -280,21 +330,16 @@ class PhyloModel:
             return self.log_likelihood_fused()
         if self._traverse is None:
             self._traverse = self._build_traverse()
-        lik, scaler_total, x_root = self._traverse(
+        lik, scaler_sites, scaler_total, x_root = self._traverse(
             self._codes, self._lcs, self._rcs, self._ec, self._tip_table,
             self._wgt_dev)
-        n = self.n_sites
         # Final log/sum on host in float64 (device x64 is disabled by
         # default; the n-term sum wants the precision anyway).
-        lik_h = np.asarray(lik, dtype=np.float64)[:n]
-        site_ll = np.log(lik_h)
-        ll = float(np.sum(site_ll * self.wgt) +
-                   int(scaler_total) * LOG_MINLIK)
-        return TreeLikelihoodResult(
-            log_likelihood=ll,
-            site_log_likelihood=site_ll,
-            scaler_total=int(scaler_total),
-            root_clv=x_root if keep_root_clv else None)
+        res = self._finalise_ll(np.asarray(lik), np.asarray(scaler_sites),
+                                int(scaler_total))
+        if keep_root_clv:
+            res.root_clv = x_root
+        return res
 
     # -- multi-chip: site-sharded fused traversal ---------------------------
 
@@ -346,19 +391,22 @@ class PhyloModel:
             ll_part = jax.lax.psum(
                 jnp.sum(site_ll * wgt_s.astype(jnp.float32)), "sites")
             sc_part = jax.lax.psum(jnp.sum(sc * wgt_s), "sites")
-            return lik, ll_part, sc_part
+            return lik, sc, ll_part, sc_part
 
         spec_s = P(None, "sites")
         rep = P(None, None)
         fn = jax.jit(jax.shard_map(
             local, mesh=mesh,
             in_specs=(spec_s, rep, rep, rep, rep, rep, spec_s, P()),
-            out_specs=(spec_s, P(), P()),
+            out_specs=(spec_s, spec_s, P(), P()),
             check_vma=False))
-        lik, ll_sum, scaler_total = fn(
+        lik, sc_sites, ll_sum, scaler_total = fn(
             jnp.asarray(codes), lcs, rcs, self._ec, ttab, self._root_rows,
             jnp.asarray(wgt), jnp.int32(n))
         scaler_total = int(scaler_total)
+        if self.ascertainment == "lewis":
+            return self._finalise_ll(np.asarray(lik)[0],
+                                     np.asarray(sc_sites)[0], scaler_total)
         ll = float(ll_sum) + scaler_total * LOG_MINLIK
         lik_h = np.asarray(lik, np.float64)[0, :n]
         return TreeLikelihoodResult(

@@ -163,3 +163,72 @@ def test_simulate_alignment_and_likelihood():
     ll_bad = PhyloModel(bad, model, tips, alpha=0.8,
                         config=cfg).log_likelihood().log_likelihood
     assert ll_true > ll_bad
+
+
+# ---------------------------------------------------------------------------
+# Ascertainment-bias (Lewis) correction
+# ---------------------------------------------------------------------------
+
+
+def test_lewis_correction_matches_manual():
+    """PhyloModel(ascertainment='lewis') equals the hand-assembled
+    correction: ll - W*log(1 - sum_s P(constant site s))."""
+    tree = random_tree(5, seed=17, mean_branch=0.2)
+    model = hky85(2.0, [0.3, 0.2, 0.3, 0.2])
+    rng = np.random.default_rng(17)
+    tips = rng.integers(0, 4, size=(5, 150))
+    cfg = PLFConfig(block_sites=128, interpret=True)
+
+    plain = PhyloModel(tree, model, tips, alpha=0.7, config=cfg)
+    res_plain = plain.log_likelihood()
+
+    const = np.tile(np.arange(4), (5, 1))
+    pconst_model = PhyloModel(tree, model, const, alpha=0.7, config=cfg)
+    res_c = pconst_model.log_likelihood()
+    # shallow tree: no rescales on constant sites
+    assert res_c.scaler_total == 0
+    p_const = float(np.exp(res_c.site_log_likelihood).sum())
+    expected = (res_plain.log_likelihood
+                - 150 * np.log1p(-p_const))
+
+    asc = PhyloModel(tree, model, tips, alpha=0.7, config=cfg,
+                     ascertainment="lewis")
+    got = asc.log_likelihood()
+    assert np.isclose(got.log_likelihood, expected, rtol=1e-6)
+    assert got.site_log_likelihood.shape == (150,)
+    # per-site corrected ll
+    assert np.allclose(
+        got.site_log_likelihood,
+        res_plain.site_log_likelihood - np.log1p(-p_const), rtol=1e-6)
+
+
+def test_lewis_correction_fused_vs_pernode():
+    tree = random_tree(6, seed=19, mean_branch=0.15)
+    model = hky85(1.5)
+    rng = np.random.default_rng(19)
+    tips = rng.integers(0, 4, size=(6, 100))
+    cfg = PLFConfig(block_sites=128, interpret=True)
+    asc = PhyloModel(tree, model, tips, config=cfg, ascertainment="lewis")
+    ll_fused = asc.log_likelihood(method="fused").log_likelihood
+    ll_node = asc.log_likelihood(method="per-node").log_likelihood
+    assert np.isclose(ll_fused, ll_node, rtol=1e-6)
+
+
+def test_lewis_correction_gradient_path():
+    """tree_loglik_fn applies the same correction (so optimisers see the
+    corrected objective) and stays differentiable."""
+    import jax
+    import jax.numpy as jnp
+    from plf_tpu.models import tree_loglik_fn
+    tree = random_tree(4, seed=23, mean_branch=0.2)
+    model = hky85(2.0)
+    rng = np.random.default_rng(23)
+    tips = rng.integers(0, 4, size=(4, 80))
+    cfg = PLFConfig(block_sites=128, interpret=True)
+    asc = PhyloModel(tree, model, tips, config=cfg, ascertainment="lewis")
+    fn, t0 = tree_loglik_fn(asc)
+    ll = float(fn(jnp.asarray(t0)))
+    ref = asc.log_likelihood().log_likelihood
+    assert abs(ll - ref) < 1e-3 * abs(ref) + 0.5
+    g = np.asarray(jax.grad(fn)(jnp.asarray(t0)))
+    assert np.isfinite(g).all()
