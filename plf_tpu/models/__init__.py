@@ -7,3 +7,4 @@ from .optimize import (tree_loglik_fn, optimize_branch_lengths,
 from .simulate import simulate_alignment
 from .search import (nni_neighbors, nni_search, spr_neighbors, spr_search,
                      tree_search, SearchResult)
+from .partition import Partition, PartitionedModel, PartitionedResult
