@@ -1,5 +1,7 @@
 from .substitution import (SubstitutionModel, jc69, hky85, gtr, random_gtr,
-                           discrete_gamma_rates, branch_matrices)
+                           discrete_gamma_rates, branch_matrices,
+                           SENSE_CODONS, codon_gy94, f3x4_frequencies,
+                           encode_codon_alignment)
 from .tree import Tree, TreeNode, parse_newick, random_tree
 from .phylo import PhyloModel, TreeLikelihoodResult
 from .optimize import (tree_loglik_fn, optimize_branch_lengths,

@@ -35,7 +35,9 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["SubstitutionModel", "jc69", "hky85", "gtr", "random_gtr",
-           "discrete_gamma_rates", "branch_matrices"]
+           "discrete_gamma_rates", "branch_matrices",
+           "SENSE_CODONS", "codon_gy94", "f3x4_frequencies",
+           "encode_codon_alignment"]
 
 # ACGT index order for DNA convenience helpers.
 DNA_STATES = "ACGT"
@@ -152,6 +154,105 @@ def random_gtr(states: int = 4, seed: int = 0) -> SubstitutionModel:
     rates = rng.random(states * (states - 1) // 2) + 0.1
     pi = rng.random(states) + 0.1
     return gtr(rates, pi / pi.sum())
+
+
+# ---------------------------------------------------------------------------
+# Codon models (61 sense codons, universal genetic code) — the hardest
+# stress of the S-generic kernel path (rows = 61*C; use the "mxu" kernel
+# variant or the XLA backend; the VPU tile/concat form is built for small S).
+# ---------------------------------------------------------------------------
+
+# NCBI translation table 1, codon order TTT,TTC,TTA,TTG,TCT,... (bases in
+# T,C,A,G order, first position slowest).
+_CODE_TCAG = "FFLLSSSSYY**CC*WLLLLPPPPHHQQRRRRIIIMTTTTNNKKSSRRVVVVAAAADDEEGGGG"
+
+
+def _standard_code():
+    bases = "TCAG"
+    table = {}
+    i = 0
+    for b1 in bases:
+        for b2 in bases:
+            for b3 in bases:
+                table[b1 + b2 + b3] = _CODE_TCAG[i]
+                i += 1
+    return table
+
+
+GENETIC_CODE = _standard_code()
+#: The 61 sense codons in ACGT-lexicographic order — the codon-model
+#: state indexing used throughout.
+SENSE_CODONS = tuple(sorted(c for c, aa in GENETIC_CODE.items()
+                            if aa != "*"))
+
+_TRANSITIONS = {frozenset("AG"), frozenset("CT")}
+
+
+def codon_gy94(kappa: float = 2.0, omega: float = 1.0,
+               pi=None) -> SubstitutionModel:
+    """Goldman-Yang (1994) codon model over the 61 sense codons.
+
+    Instantaneous rate between codons differing at exactly one position:
+    ``pi_j * kappa^[transition] * omega^[nonsynonymous]``; zero for
+    multi-position changes.  Reversible (the kappa/omega factor is
+    symmetric), so it plugs into the same eigendecomposed PLF machinery
+    as the DNA/protein models.  ``pi``: (61,) codon frequencies (e.g.
+    from :func:`f3x4_frequencies`); uniform by default.
+    """
+    S = len(SENSE_CODONS)
+    if pi is None:
+        pi = np.full(S, 1.0 / S)
+    qsym = np.zeros((S, S))
+    for i in range(S):
+        ci = SENSE_CODONS[i]
+        for j in range(i + 1, S):
+            cj = SENSE_CODONS[j]
+            diff = [(a, b) for a, b in zip(ci, cj) if a != b]
+            if len(diff) != 1:
+                continue
+            rate = 1.0
+            if frozenset(diff[0]) in _TRANSITIONS:
+                rate *= kappa
+            if GENETIC_CODE[ci] != GENETIC_CODE[cj]:
+                rate *= omega
+            qsym[i, j] = qsym[j, i] = rate
+    return _make(qsym, pi)
+
+
+def f3x4_frequencies(pos_freqs: np.ndarray) -> np.ndarray:
+    """F3x4 codon frequencies from per-position nucleotide frequencies.
+
+    ``pos_freqs``: (3, 4) in ACGT order.  Stop codons are excluded and
+    the rest renormalised (the standard F3x4 estimator).
+    """
+    pos_freqs = np.asarray(pos_freqs, np.float64)
+    assert pos_freqs.shape == (3, 4)
+    nuc = {b: i for i, b in enumerate(DNA_STATES)}
+    pi = np.array([pos_freqs[0, nuc[c[0]]] * pos_freqs[1, nuc[c[1]]]
+                   * pos_freqs[2, nuc[c[2]]] for c in SENSE_CODONS])
+    return pi / pi.sum()
+
+
+def encode_codon_alignment(dna_states: np.ndarray) -> np.ndarray:
+    """(n_leaves, 3*n_codons) DNA state codes -> (n_leaves, n_codons)
+    codon state codes.
+
+    Any triplet containing a gap/ambiguous base (codes outside 0..3) or
+    forming a stop codon maps to the gap code 61 (fully ambiguous).
+    """
+    dna = np.asarray(dna_states)
+    L, n3 = dna.shape
+    if n3 % 3:
+        raise ValueError(f"DNA alignment length {n3} not a codon multiple")
+    idx_of = {c: i for i, c in enumerate(SENSE_CODONS)}
+    tri = dna.reshape(L, n3 // 3, 3)
+    out = np.full((L, n3 // 3), len(SENSE_CODONS), dtype=np.int32)
+    valid = ((tri >= 0) & (tri < 4)).all(axis=2)
+    li, si = np.nonzero(valid)
+    for l, s in zip(li, si):
+        codon = "".join(DNA_STATES[b] for b in tri[l, s])
+        out[l, s] = idx_of.get(codon, len(SENSE_CODONS))
+    return out
 
 
 def discrete_gamma_rates(alpha: float, categories: int = 4) -> np.ndarray:
