@@ -75,8 +75,12 @@ class PLFConfig:
     backend: Backend = Backend.PALLAS
     interpret: bool = False    # Pallas interpreter mode (the sw_emu analogue)
     dtype: str = "float32"     # "float32" (exact) or "bfloat16" (fast mode)
-    kernel_variant: str = "vpu"  # "vpu" (bit-exact elementwise) or "mxu"
-                                 # (block-matmul on the systolic array)
+    kernel_variant: str = "vpu"  # "vpu" (bit-exact elementwise), "mxu"
+                                 # (block-matmul on the systolic array), or
+                                 # "auto" (vpu for small state counts, mxu
+                                 # where the (S*C, S*C) operators are big
+                                 # enough to win — measured 1.5x for
+                                 # protein S=20 on v5e, <=4 ULP)
 
     def __post_init__(self):
         if self.states < 2:
@@ -89,9 +93,20 @@ class PLFConfig:
                 f"width), got {self.block_sites}")
         if self.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported dtype {self.dtype!r}")
-        if self.kernel_variant not in ("vpu", "mxu"):
+        if self.kernel_variant not in ("vpu", "mxu", "auto"):
             raise ValueError(
                 f"unsupported kernel_variant {self.kernel_variant!r}")
+
+    @property
+    def resolved_kernel_variant(self) -> str:
+        """Resolve "auto": exact VPU form for small state counts (DNA);
+        MXU block-matmul form once the operators are large enough that
+        the systolic array beats the elementwise unroll (S >= ~16;
+        protein measured 1.5x, codon requires it — the VPU form unrolls
+        S concat/mul/add triples and is built for small S)."""
+        if self.kernel_variant != "auto":
+            return self.kernel_variant
+        return "vpu" if self.states <= 8 else "mxu"
 
     @property
     def elements_per_site(self) -> int:
@@ -174,4 +189,4 @@ class PLFConfig:
 
 
 DNA = PLFConfig(states=4)
-PROTEIN = PLFConfig(states=20)
+PROTEIN = PLFConfig(states=20, kernel_variant="auto")

@@ -137,7 +137,7 @@ class PLFEngine:
                                 states=S, categories=C,
                                 block_sites=cfg.block_sites,
                                 interpret=cfg.interpret,
-                                variant=cfg.kernel_variant)
+                                variant=cfg.resolved_kernel_variant)
         return PLFResult(x3, sv, si)
 
     # -- multi-instance (the 9-accelerator analogue) -------------------------
@@ -172,7 +172,7 @@ class PLFEngine:
             lambda a, b, l, r, e, w: plf_pallas(
                 a, b, l, r, e, w, states=S, categories=C,
                 block_sites=cfg.block_sites, interpret=cfg.interpret,
-                variant=cfg.kernel_variant))
+                variant=cfg.resolved_kernel_variant))
         x3, sv, si = fn(x1.reshape(ni, n, C, S),
                         jnp.asarray(x2).reshape(ni, n, C, S),
                         jnp.asarray(left), jnp.asarray(right),

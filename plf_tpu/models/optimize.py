@@ -101,7 +101,11 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False):
             clvs[parent] = x3
             scaler_sites = scaler_sites + sv
         root = clvs[schedule[-1][0]]
-        lik = jnp.mean(root @ pi_u, axis=1)              # (n,)
+        # HIGHEST precision: TPU matmul default is bf16-rounded and
+        # mixed-sign eigen coords cancel (see models/phylo.py).
+        lik = jnp.mean(jnp.matmul(root, pi_u,
+                                  precision=jax.lax.Precision.HIGHEST),
+                       axis=1)
         site_ll = jnp.log(jnp.maximum(lik, jnp.float32(1e-45)))
         scaler = jnp.sum(scaler_sites * wgt.astype(jnp.int32))
         ll = jnp.sum(site_ll * wgt) + scaler * jnp.float32(LOG_MINLIK)
@@ -299,7 +303,8 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
         def tip_clv(leaf):
             onehot = (codes_dev[leaf][None, :] ==
                       jnp.arange(S + 1)[:, None]).astype(jnp.float32)
-            x = wg @ onehot                        # (S, n)
+            x = jnp.matmul(wg, onehot,
+                           precision=jax.lax.Precision.HIGHEST)
             return jnp.repeat(x[None, :, :], C, axis=0).transpose(2, 0, 1)
 
         def branch_factor(t):
@@ -314,7 +319,9 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
             clvs[parent] = x3
             scaler_sites = scaler_sites + sv
         root = clvs[schedule[-1][0]]
-        lik = jnp.mean(root @ (pi @ u), axis=1)
+        lik = jnp.mean(jnp.matmul(
+            root, pi @ u,
+            precision=jax.lax.Precision.HIGHEST), axis=1)
         site_ll = jnp.log(jnp.maximum(lik, jnp.float32(1e-45)))
         scaler = jnp.sum(scaler_sites * wgt.astype(jnp.int32))
         ll = jnp.sum(site_ll * wgt) + scaler * jnp.float32(LOG_MINLIK)

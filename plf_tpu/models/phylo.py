@@ -117,7 +117,7 @@ class PhyloModel:
         # --- device constants, all shipped once -----------------------------
         # Variant-specific operator encodings (vpu: per-source-state lane
         # columns; mxu: (rows, rows) block matrices).
-        if cfg.kernel_variant == "mxu" and cfg.backend is not Backend.XLA:
+        if cfg.resolved_kernel_variant == "mxu" and cfg.backend is not Backend.XLA:
             enc_branch = lambda b: L.branch_to_block_matrix(b, S, C)
             self._ec = jnp.asarray(L.ev_to_block_matrix(model.plf_ev, S, C))
         else:
@@ -171,7 +171,12 @@ class PhyloModel:
             onehot = (codes_row[None, :] ==
                       jnp.arange(S + 1, dtype=jnp.int32)[:, None]
                       ).astype(jnp.float32)                     # (S+1, n_pad)
-            x = tip_table @ onehot                              # (S, n_pad)
+            # HIGHEST precision: TPU default matmul rounds through
+            # bf16; eigen-coordinate CLVs are mixed-sign, and the
+            # cancellation error can push small site likelihoods
+            # negative (observed as NaN logs on hardware at S=61).
+            x = jnp.matmul(tip_table, onehot,
+                           precision=jax.lax.Precision.HIGHEST)
             return jnp.repeat(x, C, axis=0)                     # rows a*C+c
 
         def traverse(codes, lcs, rcs, ec, tip_table, wgt):
@@ -189,7 +194,7 @@ class PhyloModel:
                         x1, x2, lcs[e], rcs[e], ec, jnp.int32(n),
                         states=S, categories=C,
                         block_sites=cfg.block_sites, interpret=interpret,
-                        variant=cfg.kernel_variant)
+                        variant=cfg.resolved_kernel_variant)
                     scaler_sites = scaler_sites + sc[0]
                 else:
                     x3s, scs, _ = plf_xla(
@@ -206,7 +211,8 @@ class PhyloModel:
                     if ch >= n_leaves:
                         del clvs[ch]
             x_root = clvs[root]
-            lik = (self._root_rows @ x_root)[0]          # (n_pad,)
+            lik = jnp.matmul(self._root_rows, x_root,
+                             precision=jax.lax.Precision.HIGHEST)[0]
             scaler_total = jnp.sum(scaler_sites * wgt)
             return lik, scaler_sites, scaler_total, x_root
 
@@ -301,14 +307,14 @@ class PhyloModel:
                 n_leaves=self.tree.n_leaves, states=cfg.states,
                 categories=cfg.categories, block_sites=cfg.block_sites,
                 interpret=interpret, max_live=self.FUSED_MAX_LIVE,
-                variant=cfg.kernel_variant)
+                variant=cfg.resolved_kernel_variant)
         else:
             lik, sc = plf_tree_pallas_dynamic(
                 self._codes, sched, lcs, rcs, self._ec, ttab,
                 self._root_rows, self.n_sites,
                 n_leaves=self.tree.n_leaves, states=cfg.states,
                 categories=cfg.categories, block_sites=cfg.block_sites,
-                interpret=interpret, variant=cfg.kernel_variant)
+                interpret=interpret, variant=cfg.resolved_kernel_variant)
         scaler_total = int(np.asarray(
             jnp.sum(sc[0] * self._wgt_dev)))
         return self._finalise_ll(np.asarray(lik)[0], np.asarray(sc)[0],
@@ -383,7 +389,7 @@ class PhyloModel:
                 codes_s, sched, lcs_s, rcs_s, ec_s, ttab_s, rr_s, n_local,
                 n_leaves=n_leaves, states=S, categories=cfg.categories,
                 block_sites=cfg.block_sites, interpret=interpret,
-                variant=cfg.kernel_variant)
+                variant=cfg.resolved_kernel_variant)
             valid = (jax.lax.broadcasted_iota(jnp.int32, (1, shard), 1)
                      < n_local)
             site_ll = jnp.where(valid,
