@@ -10,3 +10,4 @@ from .simulate import simulate_alignment
 from .search import (nni_neighbors, nni_search, spr_neighbors, spr_search,
                      tree_search, SearchResult)
 from .partition import Partition, PartitionedModel, PartitionedResult
+from .ancestral import ancestral_marginal
