@@ -11,3 +11,5 @@ from .search import (nni_neighbors, nni_search, spr_neighbors, spr_search,
                      tree_search, SearchResult)
 from .partition import Partition, PartitionedModel, PartitionedResult
 from .ancestral import ancestral_marginal
+from .bootstrap import (bootstrap_weights, bootstrap_log_likelihoods,
+                        rell_support)

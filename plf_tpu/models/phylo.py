@@ -51,6 +51,14 @@ class TreeLikelihoodResult:
     site_log_likelihood: np.ndarray   # (n_sites,) float64, pre-weighting
     scaler_total: int                 # wgt-weighted rescale count
     root_clv: Optional[jax.Array] = None  # lane-major root CLV (if kept)
+    scaler_sites: Optional[np.ndarray] = None  # (n_sites,) per-site counts
+
+    def true_site_log_likelihood(self) -> np.ndarray:
+        """Per-site log-likelihood with 2^-32 rescale factors folded in
+        (what bootstrap/RELL resampling must weight)."""
+        if self.scaler_sites is None:
+            return self.site_log_likelihood
+        return self.site_log_likelihood + self.scaler_sites * LOG_MINLIK
 
 
 class PhyloModel:
@@ -251,7 +259,8 @@ class PhyloModel:
                    + scaler_total * LOG_MINLIK)
         return TreeLikelihoodResult(
             log_likelihood=ll, site_log_likelihood=site_ll,
-            scaler_total=int(scaler_total), root_clv=None)
+            scaler_total=int(scaler_total), root_clv=None,
+            scaler_sites=np.asarray(sc_sites)[:n_obs].astype(np.int64))
 
     # -- fused whole-tree kernel --------------------------------------------
 
