@@ -13,3 +13,7 @@ from .partition import Partition, PartitionedModel, PartitionedResult
 from .ancestral import ancestral_marginal
 from .bootstrap import (bootstrap_weights, bootstrap_log_likelihoods,
                         rell_support)
+from .distance import (pairwise_mismatch, jc_distance_matrix,
+                       neighbor_joining, nj_tree)
+from .consensus import (bipartitions, rf_distance, majority_rule_consensus,
+                        split_support, bootstrap_nj_trees, annotate_support)
