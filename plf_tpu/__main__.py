@@ -14,6 +14,13 @@ TPU equivalent::
 The positional config-name plays the xclbin-filename role and is parsed
 with the same semantics (config.PLFConfig.from_name); ``--gen`` runs the
 compute-only probe instead (the host_gen flavor).
+
+Beyond the reference's benchmark driver, ``infer`` runs the full ML
+pipeline on a real alignment (models/pipeline.py)::
+
+    python -m plf_tpu infer align.fasta [--model jc|hky|gtr]
+        [--alpha A] [--pinv P] [--search nni|spr|none]
+        [--bootstrap N] [--out tree.nwk]
 """
 
 from __future__ import annotations
@@ -46,7 +53,61 @@ def make_data(n, states, categories, seed=7):
     return (x1.reshape(n, C, S), x2.reshape(n, C, S), left, right, ev, wgt)
 
 
+def infer_main(argv):
+    ap = argparse.ArgumentParser(prog="python -m plf_tpu infer")
+    ap.add_argument("alignment", help="FASTA or PHYLIP file (DNA)")
+    ap.add_argument("--model", default="jc", choices=["jc", "hky", "gtr"])
+    ap.add_argument("--kappa", type=float, default=2.0,
+                    help="HKY transition/transversion ratio")
+    ap.add_argument("--alpha", type=float, default=None,
+                    help="initial gamma shape (enables +G)")
+    ap.add_argument("--pinv", type=float, default=None,
+                    help="initial invariant proportion (enables +I)")
+    ap.add_argument("--search", default="nni",
+                    choices=["nni", "spr", "mixed", "none"])
+    ap.add_argument("--fit", default="lengths+alpha",
+                    help="'+'-joined: lengths, alpha, pinv, model, none")
+    ap.add_argument("--bootstrap", type=int, default=0)
+    ap.add_argument("--out", default=None, help="write newick here")
+    args = ap.parse_args(argv)
+
+    from .models import hky85, jc69, run_inference
+
+    with open(args.alignment) as f:
+        text = f.read()
+    aln = _parse_alignment(text)
+    model = {"jc": jc69, "hky": lambda: hky85(args.kappa),
+             "gtr": jc69}[args.model]()
+    fit = args.fit if args.model != "gtr" else args.fit + "+model"
+    res = run_inference(aln.codes, names=aln.names, model=model,
+                        alpha=args.alpha, p_inv=args.pinv,
+                        search=args.search, fit=fit,
+                        bootstrap=args.bootstrap, progress=log)
+    log(f"final ll = {res.log_likelihood:.6f}  "
+        f"(alpha={res.alpha}, p_inv={res.p_inv}, {res.elapsed_s:.1f}s)")
+    log(res.newick)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(res.newick + "\n")
+        log(f"wrote {args.out}")
+    return 0
+
+
+def _parse_alignment(text: str):
+    from .io.alignment import (Alignment, parse_fasta, parse_phylip,
+                               encode_dna)
+    if text.lstrip().startswith(">"):
+        names, seqs = parse_fasta(text)
+    else:
+        names, seqs = parse_phylip(text)
+    return Alignment(names, encode_dna(seqs))
+
+
 def main(argv=None):
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "infer":
+        return infer_main(argv[1:])
     ap = argparse.ArgumentParser(prog="python -m plf_tpu")
     ap.add_argument("config", nargs="?", default=None,
                     help="config name (xclbin-filename analogue)")

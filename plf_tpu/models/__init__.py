@@ -1,11 +1,13 @@
 from .substitution import (SubstitutionModel, jc69, hky85, gtr, random_gtr,
-                           discrete_gamma_rates, branch_matrices,
+                           discrete_gamma_rates, gamma_invariant_rates,
+                           branch_matrices, parse_paml_matrix,
+                           empirical_protein, AMINO_ACIDS,
                            SENSE_CODONS, codon_gy94, f3x4_frequencies,
                            encode_codon_alignment)
 from .tree import Tree, TreeNode, parse_newick, random_tree
 from .phylo import PhyloModel, TreeLikelihoodResult
 from .optimize import (tree_loglik_fn, optimize_branch_lengths,
-                       optimize_alpha, fit_model)
+                       optimize_alpha, optimize_pinv, fit_model)
 from .simulate import simulate_alignment
 from .search import (nni_neighbors, nni_search, spr_neighbors, spr_search,
                      tree_search, SearchResult)
@@ -17,3 +19,5 @@ from .distance import (pairwise_mismatch, jc_distance_matrix,
                        neighbor_joining, nj_tree)
 from .consensus import (bipartitions, rf_distance, majority_rule_consensus,
                         split_support, bootstrap_nj_trees, annotate_support)
+from .pipeline import InferenceResult, run_inference
+from .support import alrt_support, annotate_alrt

@@ -115,7 +115,12 @@ def ancestral_marginal(pm: PhyloModel) -> Dict[int, np.ndarray]:
                 down[v] = norm(jnp.einsum(
                     "ncu,cus->ncs", outer, pdev[v], precision=_HI))
             if parent >= n_leaves:
-                joint = jnp.sum(down[parent] * up[parent], axis=1)
+                # Integrate categories with their mixture weights
+                # (uniform 1/C cancels in the normalisation; +I /
+                # explicit rate_weights do not).
+                joint = jnp.einsum(
+                    "ncs,c->ns", down[parent] * up[parent],
+                    jnp.asarray(pm.rate_weights, jnp.float32))
                 posts[parent] = joint / jnp.sum(joint, axis=1,
                                                 keepdims=True)
         return posts

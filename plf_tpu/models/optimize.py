@@ -29,7 +29,7 @@ from ..reference import MIN_LIKELIHOOD, TWO_TO_THE_32
 from .phylo import LOG_MINLIK, PhyloModel
 
 __all__ = ["tree_loglik_fn", "optimize_branch_lengths", "optimize_alpha",
-           "fit_model"]
+           "optimize_pinv", "fit_model"]
 
 
 def _plf_stage(x1, x2, left, right, ev, S, C):
@@ -48,7 +48,8 @@ def _plf_stage(x1, x2, left, right, ev, S, C):
     return x3, mask.astype(jnp.int32)
 
 
-def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False):
+def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False,
+                   with_weights: bool = False):
     """Build ``(branch_lengths) -> log_likelihood`` as a pure jittable fn.
 
     ``branch_lengths``: (n_nodes-1,) vector indexed by child node (every
@@ -56,7 +57,9 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False):
     (fn, t0) with t0 the tree's current lengths.  With ``with_rates`` the
     fn signature is ``(t_vec, rates)`` — the (C,) gamma category rates
     become a traced input (one compilation serves every alpha during a
-    gamma-shape line search).
+    gamma-shape line search).  ``with_weights`` additionally traces the
+    (C,) category mixture weights — ``(t_vec, rates, weights)`` — for
+    +I proportion searches (implies with_rates).
     """
     cfg = pm.config
     S, C = cfg.states, cfg.categories
@@ -70,6 +73,7 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False):
     rates = jnp.asarray(pm.rates, jnp.float32)       # (C,)
     ev_arr = jnp.asarray(model.plf_ev)               # (S, S) [k, a]
     pi_u = jnp.asarray(model.root_vector, jnp.float32)
+    cw = jnp.asarray(pm.rate_weights, jnp.float32)   # (C,) mixture weights
     wgt = jnp.asarray(pm.wgt, jnp.float32)
 
     # Tip CLVs (n, C, S) in eigen coordinates, computed once.
@@ -90,7 +94,9 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False):
     d0 = pm.n_sites_obs
     w_total = float(np.sum(pm.wgt))
 
-    def loglik_rates(t_vec, r_vec):
+    def loglik_rates(t_vec, r_vec, w_vec=None):
+        if w_vec is None:
+            w_vec = cw
         clvs = dict(tips)
         scaler_sites = jnp.zeros((n,), jnp.int32)
         for parent, l, r in schedule:
@@ -103,9 +109,8 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False):
         root = clvs[schedule[-1][0]]
         # HIGHEST precision: TPU matmul default is bf16-rounded and
         # mixed-sign eigen coords cancel (see models/phylo.py).
-        lik = jnp.mean(jnp.matmul(root, pi_u,
-                                  precision=jax.lax.Precision.HIGHEST),
-                       axis=1)
+        lik = jnp.matmul(root, pi_u,
+                         precision=jax.lax.Precision.HIGHEST) @ w_vec
         site_ll = jnp.log(jnp.maximum(lik, jnp.float32(1e-45)))
         scaler = jnp.sum(scaler_sites * wgt.astype(jnp.int32))
         ll = jnp.sum(site_ll * wgt) + scaler * jnp.float32(LOG_MINLIK)
@@ -116,8 +121,10 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False):
             ll = ll - w_total * jnp.log1p(-p_const)
         return ll
 
-    if with_rates:
+    if with_weights:
         return jax.jit(loglik_rates), t0
+    if with_rates:
+        return jax.jit(lambda t_vec, r_vec: loglik_rates(t_vec, r_vec)), t0
     return jax.jit(lambda t_vec: loglik_rates(t_vec, rates)), t0
 
 
@@ -188,20 +195,66 @@ def optimize_alpha(pm: PhyloModel, alpha_bounds=(0.02, 100.0),
     Returns (alpha_hat, ll_before, ll_after); ``ll_before`` uses the
     PhyloModel's current rates.
     """
-    from .substitution import discrete_gamma_rates
+    from .substitution import discrete_gamma_rates, gamma_invariant_rates
 
     C = pm.config.categories
     fn, t0 = tree_loglik_fn(pm, with_rates=True)
     t_dev = jnp.asarray(t0)
     ll0 = float(fn(t_dev, jnp.asarray(pm.rates, jnp.float32)))
 
+    def rates_of(alpha: float) -> np.ndarray:
+        # +I models carry the rate-0 category at index 0 and C-1 gamma
+        # categories (the mixture weights are fixed in the compiled fn).
+        if pm.p_inv is not None:
+            return gamma_invariant_rates(alpha, pm.p_inv, C - 1)[0]
+        return discrete_gamma_rates(alpha, C)
+
     def ll_of_log_alpha(la: float) -> float:
-        r = discrete_gamma_rates(float(np.exp(la)), C)
+        r = rates_of(float(np.exp(la)))
         return float(fn(t_dev, jnp.asarray(r, jnp.float32)))
 
     la, ll1 = _golden_section(ll_of_log_alpha, np.log(alpha_bounds[0]),
                               np.log(alpha_bounds[1]), iters)
     return float(np.exp(la)), ll0, ll1
+
+
+def optimize_pinv(pm: PhyloModel, alpha: Optional[float] = None,
+                  bounds=(1e-4, 0.99), iters: int = 30
+                  ) -> Tuple[float, float, float]:
+    """Maximum-likelihood invariant-site proportion (+I / +I+G profile).
+
+    ``pm`` must have been built with ``p_inv`` (so the rate-0 category
+    exists).  Golden-section search over p_inv at fixed tree, lengths
+    and gamma shape ``alpha`` (default: the shape implied by pm.rates);
+    both the rate rescaling 1/(1-p_inv) and the mixture weights vary per
+    candidate through ONE compiled likelihood (weights are traced).
+
+    Returns (p_inv_hat, ll_before, ll_after).
+    """
+    from .substitution import gamma_invariant_rates
+
+    if pm.p_inv is None:
+        raise ValueError("build the PhyloModel with p_inv to optimise it")
+    C = pm.config.categories            # includes the invariant category
+    fn, t0 = tree_loglik_fn(pm, with_weights=True)
+    t_dev = jnp.asarray(t0)
+    ll0 = float(fn(t_dev, jnp.asarray(pm.rates, jnp.float32),
+                   jnp.asarray(pm.rate_weights, jnp.float32)))
+    # Gamma rates at weight-free scale; candidate p rescales them.
+    if alpha is None:
+        base_g = np.asarray(pm.rates[1:]) * (1.0 - pm.p_inv)
+    else:
+        from .substitution import discrete_gamma_rates
+        base_g = discrete_gamma_rates(alpha, C - 1)
+
+    def ll_of(p: float) -> float:
+        rates = np.concatenate([[0.0], base_g / (1.0 - p)])
+        weights = np.concatenate([[p], np.full(C - 1, (1.0 - p) / (C - 1))])
+        return float(fn(t_dev, jnp.asarray(rates, jnp.float32),
+                        jnp.asarray(weights, jnp.float32)))
+
+    p_hat, ll1 = _golden_section(ll_of, bounds[0], bounds[1], iters)
+    return float(p_hat), ll0, ll1
 
 
 # ---------------------------------------------------------------------------
@@ -319,9 +372,10 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
             clvs[parent] = x3
             scaler_sites = scaler_sites + sv
         root = clvs[schedule[-1][0]]
-        lik = jnp.mean(jnp.matmul(
+        lik = jnp.matmul(
             root, pi @ u,
-            precision=jax.lax.Precision.HIGHEST), axis=1)
+            precision=jax.lax.Precision.HIGHEST) @ jnp.asarray(
+                pm.rate_weights, jnp.float32)
         site_ll = jnp.log(jnp.maximum(lik, jnp.float32(1e-45)))
         scaler = jnp.sum(scaler_sites * wgt.astype(jnp.int32))
         ll = jnp.sum(site_ll * wgt) + scaler * jnp.float32(LOG_MINLIK)
@@ -348,7 +402,13 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
     params = params0
     alpha_hat = None
     if fit_alpha:
-        from .substitution import discrete_gamma_rates
+        from .substitution import discrete_gamma_rates, gamma_invariant_rates
+
+        def rates_of(alpha: float) -> np.ndarray:
+            if pm.p_inv is not None:
+                return gamma_invariant_rates(alpha, pm.p_inv, C - 1)[0]
+            return discrete_gamma_rates(alpha, C)
+
         epochs = max(1, alpha_rounds)
         per = max(1, steps // epochs)
         for _ in range(epochs):
@@ -356,14 +416,13 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
                 params, state, _ = step(params, state, rg)
 
             def ll_of_la(la, params=params):
-                r = discrete_gamma_rates(float(np.exp(la)), C)
+                r = rates_of(float(np.exp(la)))
                 return float(loglik_c(params, jnp.asarray(r, jnp.float32)))
 
             la, _ = _golden_section(ll_of_la, np.log(alpha_bounds[0]),
                                     np.log(alpha_bounds[1]), iters=25)
             alpha_hat = float(np.exp(la))
-            rg = jnp.asarray(discrete_gamma_rates(alpha_hat, C),
-                             jnp.float32)
+            rg = jnp.asarray(rates_of(alpha_hat), jnp.float32)
     else:
         for _ in range(steps):
             params, state, _ = step(params, state, rg)

@@ -74,7 +74,9 @@ class PhyloModel:
                  tip_states: np.ndarray, wgt: Optional[np.ndarray] = None,
                  alpha: Optional[float] = None,
                  config: Optional[PLFConfig] = None,
-                 ascertainment: Optional[str] = None):
+                 ascertainment: Optional[str] = None,
+                 p_inv: Optional[float] = None,
+                 rate_weights: Optional[np.ndarray] = None):
         """
         Args:
           tip_states: (n_leaves, n_sites) int array of observed states per
@@ -90,6 +92,12 @@ class PhyloModel:
             dummy sites to the alignment; every evaluation path (fused,
             per-node, sharded, and the differentiable optimisers) applies
             the correction from their likelihoods.
+          p_inv: proportion of invariant sites (+I / +I+G): adds a rate-0
+            category with weight ``p_inv`` and rescales the gamma rates
+            by 1/(1-p_inv) (substitution.gamma_invariant_rates).  The
+            effective category count becomes ``config.categories + 1``.
+          rate_weights: explicit per-category mixture weights (must sum
+            to 1); default uniform 1/C.  Mutually exclusive with p_inv.
         """
         self.tree = tree
         self.model = model
@@ -112,11 +120,32 @@ class PhyloModel:
                                              axis=1)
             self.wgt = np.concatenate([self.wgt, np.zeros(S_, np.int32)])
         self.n_sites = int(self.tip_states.shape[1])
-        if alpha is None:
-            self.rates = np.ones(cfg.categories)
+        self.p_inv = p_inv
+        if p_inv is not None:
+            if rate_weights is not None:
+                raise ValueError("pass either p_inv or rate_weights")
+            from .substitution import gamma_invariant_rates
+            self.rates, self.rate_weights = gamma_invariant_rates(
+                alpha, p_inv, cfg.categories)
+            cfg = dataclasses.replace(cfg,
+                                      categories=cfg.categories + 1)
+            self.config = cfg
         else:
-            from .substitution import discrete_gamma_rates
-            self.rates = discrete_gamma_rates(alpha, cfg.categories)
+            if alpha is None:
+                self.rates = np.ones(cfg.categories)
+            else:
+                from .substitution import discrete_gamma_rates
+                self.rates = discrete_gamma_rates(alpha, cfg.categories)
+            if rate_weights is None:
+                self.rate_weights = np.full(cfg.categories,
+                                            1.0 / cfg.categories)
+            else:
+                self.rate_weights = np.asarray(rate_weights, np.float64)
+                if self.rate_weights.shape != (cfg.categories,):
+                    raise ValueError(
+                        f"rate_weights must have shape ({cfg.categories},)")
+                if abs(float(self.rate_weights.sum()) - 1.0) > 1e-6:
+                    raise ValueError("rate_weights must sum to 1")
 
         S, C = cfg.states, cfg.categories
         self.n_pad = L.sites_padding(self.n_sites, cfg.block_sites)
@@ -147,8 +176,10 @@ class PhyloModel:
         tbl = np.concatenate([model.w, model.w.sum(axis=1, keepdims=True)],
                              axis=1)             # (S, S+1)
         self._tip_table = jnp.asarray(tbl.astype(np.float32))
-        # Root reduction over lane-major rows (row = a*C + c): pi^T U / C.
-        rows = np.repeat(model.root_vector, C) / C
+        # Root reduction over lane-major rows (row = a*C + c): pi^T U
+        # weighted by the category mixture (uniform 1/C unless +I or
+        # explicit rate_weights).
+        rows = np.repeat(model.root_vector, C) * np.tile(self.rate_weights, S)
         self._root_rows = jnp.asarray(rows.astype(np.float32)).reshape(1, -1)
         # Tip codes, padded; padding sites get the gap code (harmless).
         codes = np.where(
@@ -453,7 +484,7 @@ class PhyloModel:
                     partials[rc][:, c, :] @ P2.T)
             partials[parent] = out
         root = partials[self.tree.root]
-        lik = np.mean(root @ m.pi, axis=1)
+        lik = (root @ m.pi) @ self.rate_weights
         return float(np.sum(np.log(lik) * self.wgt))
 
 

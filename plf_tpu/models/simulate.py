@@ -24,18 +24,27 @@ __all__ = ["simulate_alignment"]
 
 def simulate_alignment(tree: Tree, model: SubstitutionModel, n_sites: int,
                        alpha: Optional[float] = None, categories: int = 4,
-                       seed: int = 0) -> np.ndarray:
+                       seed: int = 0,
+                       p_inv: Optional[float] = None) -> np.ndarray:
     """Simulate tip states under the model.
 
+    ``p_inv`` draws that proportion of sites from a rate-0 invariant
+    category (the +I(+G) mixture, substitution.gamma_invariant_rates).
     Returns (n_leaves, n_sites) int8 state codes in tree leaf order.
     """
     rng = np.random.default_rng(seed)
     S = model.states
-    if alpha is None:
-        rates = np.ones(categories)
+    if p_inv is not None:
+        from .substitution import gamma_invariant_rates
+        rates, weights = gamma_invariant_rates(alpha, p_inv, categories)
+        categories = categories + 1
+        site_cat = rng.choice(categories, size=n_sites, p=weights)
     else:
-        rates = discrete_gamma_rates(alpha, categories)
-    site_cat = rng.integers(0, categories, size=n_sites)
+        if alpha is None:
+            rates = np.ones(categories)
+        else:
+            rates = discrete_gamma_rates(alpha, categories)
+        site_cat = rng.integers(0, categories, size=n_sites)
 
     # Parent-before-children order = reversed post-order schedule.
     schedule = tree.schedule()

@@ -30,7 +30,7 @@ Gamma rate heterogeneity uses the standard mean-normalised discretisation.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -262,6 +262,78 @@ def discrete_gamma_rates(alpha: float, categories: int = 4) -> np.ndarray:
     quantiles = (2 * np.arange(c) + 1) / (2.0 * c)
     rates = _gamma.ppf(quantiles, a=alpha, scale=1.0 / alpha)
     return (rates * c / rates.sum()).astype(np.float64)
+
+
+AMINO_ACIDS = "ARNDCQEGHILKMFPSTWYV"  # PAML canonical order
+
+
+def parse_paml_matrix(text: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Parse a PAML ``.dat`` empirical amino-acid model file.
+
+    The standard distribution format of LG/WAG/JTT etc.: 190 lower-
+    triangular exchangeabilities (row i of 2..20 holds i-1 numbers),
+    followed by 20 equilibrium frequencies, free-form whitespace;
+    anything after the 210th number (comments, ancestral sequences) is
+    ignored.  Returns ``(exchangeabilities (20, 20) symmetric, pi (20,))``
+    in PAML amino-acid order ARNDCQEGHILKMFPSTWYV.
+    """
+    vals: list = []
+    for tok in text.replace(",", " ").split():
+        try:
+            vals.append(float(tok))
+        except ValueError:
+            break  # first non-numeric token ends the numeric block
+        if len(vals) == 210:
+            break
+    if len(vals) < 210:
+        raise ValueError(
+            f"PAML matrix needs 190 rates + 20 frequencies, got "
+            f"{len(vals)} numbers")
+    S = 20
+    R = np.zeros((S, S))
+    k = 0
+    for i in range(1, S):
+        for j in range(i):
+            R[i, j] = R[j, i] = vals[k]
+            k += 1
+    pi = np.asarray(vals[190:210], dtype=np.float64)
+    pi = pi / pi.sum()
+    return R, pi
+
+
+def empirical_protein(source: str) -> SubstitutionModel:
+    """Build a 20-state model from PAML ``.dat`` text or a file path
+    (LG/WAG/JTT distribution files parse directly)."""
+    import os
+    text = source
+    if "\n" not in source and os.path.exists(source):
+        with open(source) as f:
+            text = f.read()
+    R, pi = parse_paml_matrix(text)
+    iu = np.triu_indices(20, k=1)
+    return gtr(R[iu], pi)
+
+
+def gamma_invariant_rates(alpha: Optional[float], p_inv: float,
+                          categories: int = 4):
+    """Rate mixture for the +I(+G) model: invariant sites + gamma.
+
+    Returns ``(rates, weights)`` of length ``categories + 1``: category 0
+    has rate 0 with weight ``p_inv`` (a site that cannot change — its
+    branch matrix is exp(0) = identity in eigen coordinates), and the
+    ``categories`` gamma categories carry weight ``(1-p_inv)/categories``
+    with their rates scaled by ``1/(1-p_inv)`` so the mixture's mean rate
+    stays 1 (the standard RAxML/phyml +I+G parameterisation).
+    ``alpha=None`` gives plain +I (single variable-rate class).
+    """
+    if not 0.0 <= p_inv < 1.0:
+        raise ValueError(f"p_inv must be in [0, 1), got {p_inv}")
+    g = (np.ones(categories) if alpha is None
+         else discrete_gamma_rates(alpha, categories))
+    rates = np.concatenate([[0.0], g / (1.0 - p_inv)])
+    weights = np.concatenate([[p_inv],
+                              np.full(categories, (1.0 - p_inv) / categories)])
+    return rates.astype(np.float64), weights.astype(np.float64)
 
 
 def branch_matrices(model: SubstitutionModel, t: float,
