@@ -12,7 +12,7 @@ from .simulate import simulate_alignment
 from .search import (nni_neighbors, nni_search, spr_neighbors, spr_search,
                      tree_search, SearchResult)
 from .partition import Partition, PartitionedModel, PartitionedResult
-from .ancestral import ancestral_marginal
+from .ancestral import ancestral_marginal, site_rates
 from .bootstrap import (bootstrap_weights, bootstrap_log_likelihoods,
                         rell_support)
 from .distance import (pairwise_mismatch, jc_distance_matrix,

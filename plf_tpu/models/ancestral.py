@@ -34,7 +34,7 @@ import numpy as np
 
 from .phylo import PhyloModel
 
-__all__ = ["ancestral_marginal"]
+__all__ = ["ancestral_marginal", "site_rates"]
 
 _HI = None  # set lazily to jax.lax.Precision.HIGHEST
 
@@ -128,3 +128,31 @@ def ancestral_marginal(pm: PhyloModel) -> Dict[int, np.ndarray]:
     posts = jax.jit(run)()
     n_obs = pm.n_sites_obs
     return {k: np.asarray(v)[:n_obs] for k, v in posts.items()}
+
+
+def site_rates(pm: PhyloModel):
+    """Per-site posterior rates (RAxML per-site rate / CAT output).
+
+    Returns ``(mean_rate, cat_posterior)``: the posterior-mean
+    substitution rate per observed site,
+
+        E[r | site] = sum_c w_c r_c L_c(site) / sum_c w_c L_c(site),
+
+    and the (n_sites, C) per-category posterior.  The per-category site
+    likelihoods come from the root CLV of the standard traversal
+    (rescaling factors are shared across categories at a site, so they
+    cancel in the ratio).
+    """
+    res = pm.log_likelihood(keep_root_clv=True, method="per-node")
+    S, C = pm.config.states, pm.config.categories
+    x_root = np.asarray(res.root_clv, np.float64)     # (S*C, n_pad) rows a*C+c
+    n = pm.n_sites_obs
+    rv = np.asarray(pm.model.root_vector, np.float64)  # (S,)
+    # L_c(site) = sum_a rv[a] * x_root[a*C + c, site]
+    lik_cs = np.einsum("a,acn->cn", rv,
+                       x_root[:, :n].reshape(S, C, n))        # (C, n)
+    w = np.asarray(pm.rate_weights, np.float64)[:, None]       # (C, 1)
+    post = w * lik_cs                                          # (C, n)
+    post = post / np.maximum(post.sum(axis=0, keepdims=True), 1e-300)
+    mean_rate = np.asarray(pm.rates, np.float64) @ post        # (n,)
+    return mean_rate, post.T.astype(np.float64)

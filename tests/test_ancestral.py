@@ -108,3 +108,22 @@ def test_ancestral_certain_at_zero_length():
     # the parent of A/B (first internal in the schedule)
     ab = pm.schedule[0][0]
     assert (got[ab][:, 2] > 0.99).all()
+
+
+def test_site_rates_posterior():
+    from plf_tpu.models import simulate_alignment, site_rates
+    tree = random_tree(5, seed=31, mean_branch=0.1)
+    model = jc69()
+    # Mix of invariant-ish and fast sites via gamma simulation.
+    tips = simulate_alignment(tree, model, n_sites=300, alpha=0.4, seed=32)
+    pm = PhyloModel(tree, model, tips, alpha=0.4)
+    mean_rate, post = site_rates(pm)
+    n, C = tips.shape[1], pm.config.categories
+    assert mean_rate.shape == (n,)
+    assert post.shape == (n, C)
+    np.testing.assert_allclose(post.sum(axis=1), 1.0, atol=1e-9)
+    assert np.all(mean_rate > 0)
+    # Constant columns should get below-average rate estimates.
+    const = np.all(tips == tips[0], axis=0)
+    if const.any() and (~const).any():
+        assert mean_rate[const].mean() < mean_rate[~const].mean()
