@@ -13,8 +13,22 @@ as four 128-bit lane streams (4 fp32/beat).  Two disciplines exist:
 
 This codec reads/writes those exact formats so plf_tpu can consume or
 produce reference-compatible test vectors and data dumps (it is also how
-tests/test_reference.py validates against aie/data fixtures).  SEPARATE
-layout moves branch/EV to dedicated streams (mm2sleft_memDNAwindowSep).
+tests/test_reference.py validates against aie/data fixtures).
+
+Both PLIO layouts are implemented (``layout=`` on every function):
+
+* **COMBINED** ("1inEV"): EV halves + branch block prefix every lane's
+  data stream (described above).
+* **SEPARATE** ("2in"): data streams s0-s3 carry only site beats; each
+  lane's transposed branch block rides a dedicated sBranch<c> stream and
+  the full EV a dedicated sEV stream on the *left* mover only
+  (mm2sleft_memDNAwindowSep.cpp:58-72; the right mover has no EV,
+  mm2sright_memDNAwindowSep.cpp).  In stream mode the count packet moves
+  to the sBranch streams (mm2sleft_memDNAstreamSep.cpp:49-61) and the
+  data streams start directly with site beats.
+
+SEPARATE encodings return extra dict keys ``left_branch``/``right_branch``
+(4 streams each) and ``left_ev`` (one stream).
 """
 
 from __future__ import annotations
@@ -25,6 +39,13 @@ import numpy as np
 
 __all__ = ["encode_window_lanes", "decode_window_lanes",
            "encode_stream_lanes", "decode_stream_lanes"]
+
+
+def _check_layout(layout: str) -> str:
+    if layout not in ("combined", "separate"):
+        raise ValueError(f"layout must be 'combined' or 'separate', "
+                         f"got {layout!r}")
+    return layout
 
 
 def _lane_data(clv: np.ndarray, lane: int) -> np.ndarray:
@@ -42,14 +63,20 @@ def _branch_t(branch: np.ndarray, lane: int) -> np.ndarray:
     return np.ascontiguousarray(branch[lane].T.astype(np.float32))
 
 
-def encode_window_lanes(ev, left, right, x1, x2, window_sites: int = 64
+def encode_window_lanes(ev, left, right, x1, x2, window_sites: int = 64,
+                        layout: str = "combined"
                         ) -> Dict[str, List[np.ndarray]]:
-    """Encode inputs as window-mode COMBINED lane streams.
+    """Encode inputs as window-mode lane streams.
 
-    Returns {"left": [4 x (beats, 4)], "right": [...]}; site count is
+    COMBINED returns {"left": [4 x (beats, 4)], "right": [...]};
+    SEPARATE additionally returns "left_branch"/"right_branch" (4 streams
+    of 4 beats/window = the lane's transposed branch block,
+    mm2sleft_memDNAwindowSep.cpp:58-72) and "left_ev" (one stream, 4
+    beats/window = the full EV; the right mover has none).  Site count is
     zero-padded up to a window multiple (the mm2s zero-fill of the last
     partial window, mm2sleft_uint128x4window1in.cpp:85-92).
     """
+    _check_layout(layout)
     ev = np.asarray(ev, np.float32).reshape(4, 4)
     left = np.asarray(left, np.float32).reshape(4, 4, 4)
     right = np.asarray(right, np.float32).reshape(4, 4, 4)
@@ -62,6 +89,21 @@ def encode_window_lanes(ev, left, right, x1, x2, window_sites: int = 64
         z = np.zeros((pad, 4, 4), np.float32)
         x1 = np.concatenate([x1, z])
         x2 = np.concatenate([x2, z])
+    n_windows = n_pad // window_sites
+
+    if layout == "separate":
+        out: Dict[str, List[np.ndarray]] = {
+            "left": [], "right": [], "left_branch": [], "right_branch": []}
+        for side, branch, clv in (("left", left, x1), ("right", right, x2)):
+            for lane in range(4):
+                # data streams carry only site beats (one per site).
+                out[side].append(_lane_data(clv, lane))
+                # sBranch<lane>: the transposed block, re-sent per window.
+                out[f"{side}_branch"].append(
+                    np.tile(_branch_t(branch, lane), (n_windows, 1)))
+        # sEV: full EV re-sent per window, left mover only.
+        out["left_ev"] = [np.tile(ev, (n_windows, 1))]
+        return out
 
     out = {"left": [], "right": []}
     for side, branch, clv, ev_half in (
@@ -79,9 +121,23 @@ def encode_window_lanes(ev, left, right, x1, x2, window_sites: int = 64
 
 
 def decode_window_lanes(lanes: Dict[str, List[np.ndarray]],
-                        window_sites: int = 64, n_sites: int | None = None
+                        window_sites: int = 64, n_sites: int | None = None,
+                        layout: str = "combined"
                         ) -> Tuple[np.ndarray, ...]:
     """Inverse of encode_window_lanes -> (ev, left, right, x1, x2)."""
+    _check_layout(layout)
+    if layout == "separate":
+        ev = lanes["left_ev"][0][0:4]
+        out = {}
+        for side in ("left", "right"):
+            out[side] = np.stack(
+                [d for d in lanes[side]], axis=1)           # (n_pad, 4, 4)
+            out[f"{side}_branch"] = np.stack(
+                [bt[0:4].T for bt in lanes[f"{side}_branch"]])  # (C, S, S)
+        x1, x2 = out["left"], out["right"]
+        if n_sites is not None:
+            x1, x2 = x1[:n_sites], x2[:n_sites]
+        return ev, out["left_branch"], out["right_branch"], x1, x2
     beats_per_window = 6 + window_sites
     ev_halves = {}
     branches = {}
@@ -107,14 +163,21 @@ def decode_window_lanes(lanes: Dict[str, List[np.ndarray]],
     return ev, left, right, x1, x2
 
 
-def encode_stream_lanes(ev, left, right, x1, x2
+def encode_stream_lanes(ev, left, right, x1, x2, layout: str = "combined"
                         ) -> Dict[str, List[np.ndarray]]:
-    """Encode inputs as stream-mode COMBINED lane streams.
+    """Encode inputs as stream-mode lane streams.
 
-    Beat 0 carries ``n + padding`` encoded as float
-    (mm2sleft_memDNAstreamComb.cpp:47-58); one zero site is appended
-    when n is odd (the AIE reads 2 sites/iteration, lines 44-45,107-114).
+    COMBINED: beat 0 of every data stream carries ``n + padding`` encoded
+    as float (mm2sleft_memDNAstreamComb.cpp:47-58); one zero site is
+    appended when n is odd (the AIE reads 2 sites/iteration, lines
+    44-45,107-114).
+
+    SEPARATE: the count packet moves to beat 0 of every sBranch stream
+    (mm2sleft_memDNAstreamSep.cpp:49-61), followed by the lane's 4
+    transposed-branch beats; the full EV rides sEV (left mover only);
+    data streams carry only site beats (+ the odd-count zero pad).
     """
+    _check_layout(layout)
     ev = np.asarray(ev, np.float32).reshape(4, 4)
     left = np.asarray(left, np.float32).reshape(4, 4, 4)
     right = np.asarray(right, np.float32).reshape(4, 4, 4)
@@ -128,6 +191,17 @@ def encode_stream_lanes(ev, left, right, x1, x2
         x2 = np.concatenate([x2, z])
     count_beat = np.array([[np.float32(n + padding), 0, 0, 0]], np.float32)
 
+    if layout == "separate":
+        out: Dict[str, List[np.ndarray]] = {
+            "left": [], "right": [], "left_branch": [], "right_branch": []}
+        for side, branch, clv in (("left", left, x1), ("right", right, x2)):
+            for lane in range(4):
+                out[side].append(_lane_data(clv, lane))
+                out[f"{side}_branch"].append(np.concatenate(
+                    [count_beat, _branch_t(branch, lane)], axis=0))
+        out["left_ev"] = [ev.copy()]
+        return out
+
     out = {"left": [], "right": []}
     for side, branch, clv, ev_half in (
             ("left", left, x1, ev[0:2]), ("right", right, x2, ev[2:4])):
@@ -138,9 +212,26 @@ def encode_stream_lanes(ev, left, right, x1, x2
     return out
 
 
-def decode_stream_lanes(lanes: Dict[str, List[np.ndarray]]
+def decode_stream_lanes(lanes: Dict[str, List[np.ndarray]],
+                        layout: str = "combined"
                         ) -> Tuple[np.ndarray, ...]:
     """Inverse of encode_stream_lanes -> (ev, left, right, x1, x2, n)."""
+    _check_layout(layout)
+    if layout == "separate":
+        ev = lanes["left_ev"][0][0:4]
+        branches = {}
+        datas = {}
+        declared = None
+        for side in ("left", "right"):
+            lane_datas = []
+            for lane in range(4):
+                bb = lanes[f"{side}_branch"][lane]
+                declared = int(bb[0, 0])
+                branches.setdefault(side, []).append(bb[1:5].T)
+                lane_datas.append(lanes[side][lane][:declared])
+            datas[side] = np.stack(lane_datas, axis=1)
+        return (ev, np.stack(branches["left"]), np.stack(branches["right"]),
+                datas["left"], datas["right"], declared)
     ev_halves = {}
     branches = {}
     datas = {}

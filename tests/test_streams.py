@@ -48,6 +48,44 @@ def test_stream_roundtrip_odd_padding():
     np.testing.assert_array_equal(l2, left)
 
 
+def test_window_separate_roundtrip():
+    rng = np.random.default_rng(53)
+    x1, x2, left, right, ev, _ = make_random_case(rng, 70)
+    lanes = encode_window_lanes(ev, left, right, x1, x2, layout="separate")
+    # 70 sites -> 2 windows; data streams carry only zero-filled sites,
+    # branch/EV streams re-send their block per window.
+    assert lanes["left"][0].shape[0] == 128
+    assert lanes["left_branch"][0].shape[0] == 2 * 4
+    assert lanes["left_ev"][0].shape[0] == 2 * 4
+    assert "right_ev" not in lanes  # the right Sep mover has no EV stream
+    ev2, l2, r2, x1b, x2b = decode_window_lanes(lanes, n_sites=70,
+                                                layout="separate")
+    np.testing.assert_array_equal(ev2, ev)
+    np.testing.assert_array_equal(l2, left)
+    np.testing.assert_array_equal(r2, right)
+    np.testing.assert_array_equal(x1b, x1)
+    np.testing.assert_array_equal(x2b, x2)
+
+
+def test_stream_separate_roundtrip_odd_padding():
+    rng = np.random.default_rng(54)
+    x1, x2, left, right, ev, _ = make_random_case(rng, 65)
+    lanes = encode_stream_lanes(ev, left, right, x1, x2, layout="separate")
+    # count packet rides beat 0 of every sBranch stream
+    # (mm2sleft_memDNAstreamSep.cpp:49-61), NOT the data streams.
+    for side in ("left_branch", "right_branch"):
+        for lane in range(4):
+            assert lanes[side][lane][0, 0] == np.float32(66)
+    assert lanes["left"][0].shape[0] == 66     # 65 + odd zero pad
+    ev2, l2, r2, x1b, x2b, n = decode_stream_lanes(lanes, layout="separate")
+    assert n == 66
+    np.testing.assert_array_equal(ev2, ev)
+    np.testing.assert_array_equal(l2, left)
+    np.testing.assert_array_equal(r2, right)
+    np.testing.assert_array_equal(x1b[:65], x1)
+    assert np.all(x1b[65] == 0)
+
+
 needs_fixtures = pytest.mark.skipif(
     not fixtures.reference_fixtures_available(),
     reason="reference aie/data fixtures not mounted")
@@ -80,3 +118,54 @@ def test_encoder_reproduces_reference_stream_fixtures():
             f"{sdir}/inputcombinedevright{lane}.txt")
         got = lanes["right"][lane]
         np.testing.assert_allclose(got[0:7], ref_beats[0:7], atol=5e-7)
+
+
+@needs_fixtures
+def test_separate_encoder_reproduces_reference_window_fixtures():
+    """Window-Sep encoding must byte-match the dedicated-stream fixture
+    files: inputEV0 (sEV), inputbranch{left,right}<c> (sBranch<c>) and
+    inputdata{left,right}<c> (s<c>) for the first 64-site window."""
+    v = fixtures.load_separate_vectors()
+    lanes = encode_window_lanes(v.ev, v.left, v.right, v.x1, v.x2,
+                                layout="separate")
+    d = fixtures.REFERENCE_DATA_DIR
+    np.testing.assert_allclose(lanes["left_ev"][0][0:4],
+                               fixtures.load_beats(f"{d}/inputEV0.txt"),
+                               atol=5e-7)
+    for lane in range(4):
+        np.testing.assert_allclose(
+            lanes["left_branch"][lane][0:4],
+            fixtures.load_beats(f"{d}/inputbranchleft{lane}.txt"),
+            atol=5e-7)
+        np.testing.assert_allclose(
+            lanes["right_branch"][lane][0:4],
+            fixtures.load_beats(f"{d}/inputbranchright{lane}.txt"),
+            atol=5e-7)
+        np.testing.assert_allclose(
+            lanes["left"][lane][0:64],
+            fixtures.load_beats(f"{d}/inputdataleft{lane}.txt")[0:64],
+            atol=5e-7)
+        np.testing.assert_allclose(
+            lanes["right"][lane][0:64],
+            fixtures.load_beats(f"{d}/inputdataright{lane}.txt")[0:64],
+            atol=5e-7)
+
+
+@needs_fixtures
+def test_separate_encoder_reproduces_reference_stream_fixtures():
+    """Stream-Sep: the count packet + transposed branch block must match
+    aie/data/stream/inputbranch*<c> (count beat '64 0 0 0' first,
+    mm2sleft_memDNAstreamSep.cpp:49-61)."""
+    v = fixtures.load_separate_vectors()
+    lanes = encode_stream_lanes(v.ev, v.left, v.right, v.x1[:64], v.x2[:64],
+                                layout="separate")
+    sdir = f"{fixtures.REFERENCE_DATA_DIR}/stream"
+    for lane in range(4):
+        np.testing.assert_allclose(
+            lanes["left_branch"][lane],
+            fixtures.load_beats(f"{sdir}/inputbranchleft{lane}.txt"),
+            atol=5e-7)
+        np.testing.assert_allclose(
+            lanes["right_branch"][lane],
+            fixtures.load_beats(f"{sdir}/inputbranchright{lane}.txt"),
+            atol=5e-7)
