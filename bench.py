@@ -86,9 +86,12 @@ def bench_fused(n_sites=1 << 24, iters=None, block=16384, states=4,
     if interpret:
         k_pair = (1, 2)
 
+    # donate=1: the chained carry is a dead internal-node CLV, exactly the
+    # post-order traversal pattern — its HBM buffer is reused for x3
+    # (worth ~1.6x on v5e; see ops/plf_pallas.py docstring).
     kernel = functools.partial(
         plf_pallas_lane_major, states=S, categories=C, block_sites=block,
-        interpret=interpret, variant=variant)
+        interpret=interpret, variant=variant, donate=1)
 
     def chained(K):
         @jax.jit

@@ -8,10 +8,15 @@ backward pass, and an optax loop maximises the likelihood entirely
 on-device.  (RAxML does this with hand-coded Newton iterations on one
 branch at a time; here all branches update simultaneously.)
 
-The differentiable path uses the element-wise XLA PLF stages (autodiff
-through the fused Pallas kernel would need a custom VJP — the XLA path
-compiles to near-identical fused code and is the pragmatic choice for
-gradients).  Underflow rescaling is kept: the 2^32 factors are constant
+Two differentiable paths exist (``tree_loglik_fn(backend=...)``):
+
+* ``"pallas"`` (default on TPU): the production fused kernel with its
+  custom VJP (ops/plf_grad.py) — forward AND backward run lane-major
+  Pallas kernels; branch lengths/rates/weights chain through tiny jnp
+  ops into the kernel's lane-constant operators.
+* ``"xla"`` (default elsewhere): element-wise jnp PLF stages.
+
+Underflow rescaling is kept in both: the 2^32 factors are constant
 w.r.t. branch lengths almost everywhere, so gradients are exact wherever
 the likelihood is differentiable.
 """
@@ -49,7 +54,7 @@ def _plf_stage(x1, x2, left, right, ev, S, C):
 
 
 def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False,
-                   with_weights: bool = False):
+                   with_weights: bool = False, backend: str = "auto"):
     """Build ``(branch_lengths) -> log_likelihood`` as a pure jittable fn.
 
     ``branch_lengths``: (n_nodes-1,) vector indexed by child node (every
@@ -60,7 +65,16 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False,
     gamma-shape line search).  ``with_weights`` additionally traces the
     (C,) category mixture weights — ``(t_vec, rates, weights)`` — for
     +I proportion searches (implies with_rates).
+
+    ``backend``: "pallas" routes every PLF node through the fused kernel
+    + its custom VJP (ops/plf_grad.py); "xla" uses the element-wise jnp
+    stages; "auto" picks pallas on TPU.
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        return _tree_loglik_fn_pallas(pm, with_rates=with_rates,
+                                      with_weights=with_weights)
     cfg = pm.config
     S, C = cfg.states, cfg.categories
     model = pm.model
@@ -76,11 +90,24 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False,
     cw = jnp.asarray(pm.rate_weights, jnp.float32)   # (C,) mixture weights
     wgt = jnp.asarray(pm.wgt, jnp.float32)
 
-    # Tip CLVs (n, C, S) in eigen coordinates, computed once.
-    tips = {}
-    for leaf in range(n_leaves):
-        tips[leaf] = jnp.asarray(
-            model.tip_clv(pm.tip_states[leaf], C), jnp.float32)
+    # Tip codes ship as a jit ARGUMENT and expand to eigen-coordinate
+    # CLVs inside the compiled graph — closing over materialised tip
+    # CLVs would embed O(n_leaves * n * C * S) literal constants in the
+    # lowered module (observed: 16 leaves x 1M sites = a >1 GB HLO).
+    codes_dev = jnp.asarray(np.where(
+        (pm.tip_states >= 0) & (pm.tip_states < S),
+        pm.tip_states, S).astype(np.int32))          # (n_leaves, n)
+    wg_tbl = jnp.asarray(np.concatenate(
+        [model.w, model.w.sum(axis=1, keepdims=True)],
+        axis=1).astype(np.float32))                  # (S, S+1)
+
+    def expand_tip(codes_row):
+        onehot = (codes_row[None, :] ==
+                  jnp.arange(S + 1, dtype=jnp.int32)[:, None]
+                  ).astype(jnp.float32)              # (S+1, n)
+        x = jnp.matmul(wg_tbl, onehot,
+                       precision=jax.lax.Precision.HIGHEST)  # (S, n)
+        return jnp.repeat(x.T[:, None, :], C, axis=1)        # (n, C, S)
 
     t0 = np.array([pm.tree.nodes[i].length
                    for i in range(pm.tree.n_nodes - 1)], np.float32)
@@ -94,12 +121,13 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False,
     d0 = pm.n_sites_obs
     w_total = float(np.sum(pm.wgt))
 
-    def loglik_rates(t_vec, r_vec, w_vec=None):
-        if w_vec is None:
-            w_vec = cw
-        clvs = dict(tips)
+    def loglik_rates(t_vec, r_vec, w_vec, codes):
+        clvs = {}
         scaler_sites = jnp.zeros((n,), jnp.int32)
         for parent, l, r in schedule:
+            for ch in (l, r):
+                if ch < n_leaves and ch not in clvs:
+                    clvs[ch] = expand_tip(codes[ch])
             left = branch_factor(t_vec[l], r_vec)
             right = branch_factor(t_vec[r], r_vec)
             x3, sv = _plf_stage(clvs[l], clvs[r], left, right, ev_arr,
@@ -121,25 +149,128 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False,
             ll = ll - w_total * jnp.log1p(-p_const)
         return ll
 
+    jfn = jax.jit(loglik_rates)
     if with_weights:
-        return jax.jit(loglik_rates), t0
+        return (lambda t_vec, r_vec, w_vec:
+                jfn(t_vec, r_vec, w_vec, codes_dev)), t0
     if with_rates:
-        return jax.jit(lambda t_vec, r_vec: loglik_rates(t_vec, r_vec)), t0
-    return jax.jit(lambda t_vec: loglik_rates(t_vec, rates)), t0
+        return (lambda t_vec, r_vec: jfn(t_vec, r_vec, cw, codes_dev)), t0
+    return (lambda t_vec: jfn(t_vec, rates, cw, codes_dev)), t0
+
+
+def _tree_loglik_fn_pallas(pm: PhyloModel, with_rates: bool = False,
+                           with_weights: bool = False):
+    """Pallas-path twin of :func:`tree_loglik_fn`: every PLF node runs
+    the fused kernel forward + custom-VJP backward (ops/plf_grad.py);
+    branch lengths / rates / mixture weights enter through the
+    lane-constant operators, which are tiny differentiable jnp
+    transforms of the eigensystem."""
+    from ..ops import layout as L
+    from ..ops.plf_grad import make_plf_diff
+
+    cfg = pm.config
+    S, C = cfg.states, cfg.categories
+    model = pm.model
+    schedule = [(p, l, r) for (p, l, r, _, _) in pm.schedule]
+    n_leaves = pm.tree.n_leaves
+    n, n_pad = pm.n_sites, pm.n_pad
+    root = pm.tree.root
+    interpret = cfg.interpret or (jax.default_backend() != "tpu")
+
+    u = jnp.asarray(model.u, jnp.float32)            # (S, S) [state, eig]
+    lam = jnp.asarray(model.eigenvalues, jnp.float32)
+    rates = jnp.asarray(pm.rates, jnp.float32)
+    pi_u = jnp.asarray(model.root_vector, jnp.float32)
+    cw = jnp.asarray(pm.rate_weights, jnp.float32)
+    ec = jnp.asarray(L.ev_to_lane_constants(model.plf_ev, S, C))
+    wpad = jnp.asarray(np.concatenate(
+        [pm.wgt.astype(np.float32), np.zeros(n_pad - n, np.float32)]))
+
+    # Tip codes are a jit argument; lane-major tip CLVs (rows a*C + c)
+    # expand inside the graph, one leaf at a time at its point of use —
+    # no O(n_leaves * n_pad) fp32 constants in the module or in HBM
+    # (each leaf of a binary tree is consumed exactly once).  The
+    # C-fold row replication happens on the (S, S+1) TABLE, not on the
+    # (rows, n_pad) array, so expansion is a single memory pass.
+    wg_tbl = np.concatenate(
+        [model.w, model.w.sum(axis=1, keepdims=True)],
+        axis=1).astype(np.float32)                   # (S, S+1)
+    ttab_rep = jnp.asarray(np.repeat(wg_tbl, C, axis=0))  # (rows, S+1)
+    codes_dev = pm._codes                            # (n_leaves, n_pad)
+
+    def expand_tip(codes_row):
+        onehot = (codes_row[None, :] ==
+                  jnp.arange(S + 1, dtype=jnp.int32)[:, None]
+                  ).astype(jnp.float32)
+        return jnp.matmul(ttab_rep, onehot,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    pdiff = make_plf_diff(states=S, categories=C,
+                          block_sites=cfg.block_sites, interpret=interpret)
+    t0 = np.array([pm.tree.nodes[i].length
+                   for i in range(pm.tree.n_nodes - 1)], np.float32)
+
+    def lane_const(t, r_vec):
+        """branch_factor -> (S*C, S) lane constants, lc[k*C+c, a]."""
+        e = jnp.exp(lam[None, :] * t * r_vec[:, None])     # (C, S) [c, a]
+        b = u[None, :, :] * e[:, None, :]                  # [c, k, a]
+        return jnp.transpose(b, (1, 0, 2)).reshape(S * C, S)
+
+    asc = pm.ascertainment == "lewis"
+    d0 = pm.n_sites_obs
+    w_total = float(np.sum(pm.wgt))
+    n_dev = jnp.int32(n)
+
+    def loglik_rates(t_vec, r_vec, w_vec, codes):
+        clvs = {}
+        scaler_sites = jnp.zeros((1, n_pad), jnp.int32)
+        for parent, l, r in schedule:
+            x1, x2 = [expand_tip(codes[ch]) if ch < n_leaves
+                      else clvs.pop(ch) for ch in (l, r)]
+            lc = lane_const(t_vec[l], r_vec)
+            rc = lane_const(t_vec[r], r_vec)
+            x3, sc = pdiff(x1, x2, lc, rc, ec, n_dev)
+            clvs[parent] = x3
+            scaler_sites = scaler_sites + sc
+        x_root = clvs[root]
+        rows_vec = jnp.repeat(pi_u, C) * jnp.tile(w_vec, S)
+        lik = jnp.matmul(rows_vec[None, :], x_root,
+                         precision=jax.lax.Precision.HIGHEST)[0]  # (n_pad,)
+        site_ll = jnp.log(jnp.maximum(lik[:n], jnp.float32(1e-45)))
+        sc_row = scaler_sites[0].astype(jnp.float32)
+        scaler = jnp.sum(sc_row * wpad)
+        ll = (jnp.sum(site_ll * wpad[:n]) + scaler * jnp.float32(LOG_MINLIK))
+        if asc:
+            log_pc = (site_ll[d0:]
+                      + sc_row[d0:n] * jnp.float32(LOG_MINLIK))
+            p_const = jnp.sum(jnp.exp(log_pc))
+            ll = ll - w_total * jnp.log1p(-p_const)
+        return ll
+
+    jfn = jax.jit(loglik_rates)
+    if with_weights:
+        return (lambda t_vec, r_vec, w_vec:
+                jfn(t_vec, r_vec, w_vec, codes_dev)), t0
+    if with_rates:
+        return (lambda t_vec, r_vec: jfn(t_vec, r_vec, cw, codes_dev)), t0
+    return (lambda t_vec: jfn(t_vec, rates, cw, codes_dev)), t0
 
 
 def optimize_branch_lengths(pm: PhyloModel, steps: int = 100,
                             learning_rate: float = 0.02,
-                            min_length: float = 1e-6
+                            min_length: float = 1e-6,
+                            backend: str = "auto"
                             ) -> Tuple[np.ndarray, float, float]:
     """Maximise the tree likelihood over all branch lengths on device.
 
     Optimises in log-space (lengths stay positive) with optax adam.
+    On TPU the likelihood and its gradient run the fused Pallas kernels
+    (backend="auto" -> "pallas"; see tree_loglik_fn).
     Returns (optimised_lengths, ll_before, ll_after).
     """
     import optax
 
-    fn, t0 = tree_loglik_fn(pm)
+    fn, t0 = tree_loglik_fn(pm, backend=backend)
     ll0 = float(fn(jnp.asarray(t0)))
 
     def loss(log_t):
@@ -183,7 +314,8 @@ def _golden_section(f, lo: float, hi: float, iters: int = 30):
 
 
 def optimize_alpha(pm: PhyloModel, alpha_bounds=(0.02, 100.0),
-                   iters: int = 30) -> Tuple[float, float, float]:
+                   iters: int = 30, backend: str = "auto"
+                   ) -> Tuple[float, float, float]:
     """Maximum-likelihood gamma shape (alpha) at fixed tree and lengths.
 
     Golden-section search in log-alpha (RAxML optimises alpha with Brent
@@ -198,7 +330,7 @@ def optimize_alpha(pm: PhyloModel, alpha_bounds=(0.02, 100.0),
     from .substitution import discrete_gamma_rates, gamma_invariant_rates
 
     C = pm.config.categories
-    fn, t0 = tree_loglik_fn(pm, with_rates=True)
+    fn, t0 = tree_loglik_fn(pm, with_rates=True, backend=backend)
     t_dev = jnp.asarray(t0)
     ll0 = float(fn(t_dev, jnp.asarray(pm.rates, jnp.float32)))
 
@@ -219,8 +351,8 @@ def optimize_alpha(pm: PhyloModel, alpha_bounds=(0.02, 100.0),
 
 
 def optimize_pinv(pm: PhyloModel, alpha: Optional[float] = None,
-                  bounds=(1e-4, 0.99), iters: int = 30
-                  ) -> Tuple[float, float, float]:
+                  bounds=(1e-4, 0.99), iters: int = 30,
+                  backend: str = "auto") -> Tuple[float, float, float]:
     """Maximum-likelihood invariant-site proportion (+I / +I+G profile).
 
     ``pm`` must have been built with ``p_inv`` (so the rate-0 category
@@ -236,7 +368,7 @@ def optimize_pinv(pm: PhyloModel, alpha: Optional[float] = None,
     if pm.p_inv is None:
         raise ValueError("build the PhyloModel with p_inv to optimise it")
     C = pm.config.categories            # includes the invariant category
-    fn, t0 = tree_loglik_fn(pm, with_weights=True)
+    fn, t0 = tree_loglik_fn(pm, with_weights=True, backend=backend)
     t_dev = jnp.asarray(t0)
     ll0 = float(fn(t_dev, jnp.asarray(pm.rates, jnp.float32),
                    jnp.asarray(pm.rate_weights, jnp.float32)))

@@ -229,11 +229,18 @@ class PhyloModel:
                     childs.append(clvs[ch])
                 x1, x2 = childs
                 if use_pallas:
+                    # Donate a dead internal-node child's HBM buffer to
+                    # the parent CLV (leaf CLVs are cached and reused, so
+                    # never donated).  Internal children of a binary tree
+                    # are consumed exactly once; worth ~1.6x on v5e.
+                    donate = (1 if lc_i >= n_leaves
+                              else 2 if rc_i >= n_leaves else 0)
                     x3, sc = plf_pallas_lane_major(
                         x1, x2, lcs[e], rcs[e], ec, jnp.int32(n),
                         states=S, categories=C,
                         block_sites=cfg.block_sites, interpret=interpret,
-                        variant=cfg.resolved_kernel_variant)
+                        variant=cfg.resolved_kernel_variant,
+                        donate=donate)
                     scaler_sites = scaler_sites + sc[0]
                 else:
                     x3s, scs, _ = plf_xla(
@@ -486,6 +493,65 @@ class PhyloModel:
         root = partials[self.tree.root]
         lik = (root @ m.pi) @ self.rate_weights
         return float(np.sum(np.log(lik) * self.wgt))
+
+
+def batch_log_likelihood(pms) -> np.ndarray:
+    """Score many same-shape topologies in ONE device dispatch.
+
+    ``pms``: PhyloModels sharing alignment, model, config and node count
+    (the tree-search neighbourhood case — NNI/SPR preserve all of these).
+    Uses the register-machine tree kernel with the schedule as runtime
+    arrays, so the whole batch compiles ONCE per (n_edges, n_slots,
+    n_pad) shape class and a ``lax.map`` walks candidates on device —
+    no per-topology recompile, no per-candidate dispatch overhead.
+
+    Returns (B,) float64 log-likelihoods (fp32 partial sums, host fp64
+    final reduction — same precision policy as log_likelihood_fused).
+    """
+    from ..ops.plf_tree_pallas import (batched_tree_loglik_parts,
+                                       compile_register_schedule,
+                                       reorder_schedule)
+
+    pm0 = pms[0]
+    cfg = pm0.config
+    S, C = cfg.states, cfg.categories
+    n_leaves = pm0.tree.n_leaves
+    E = len(pm0.schedule)
+    for pm in pms[1:]:
+        if (len(pm.schedule) != E or pm.tree.n_leaves != n_leaves
+                or pm.n_pad != pm0.n_pad or pm.config != cfg):
+            raise ValueError("batch_log_likelihood needs same-shape models")
+    if pm0.ascertainment is not None:
+        raise ValueError("ascertainment not supported in the batch path")
+
+    stacks = {k: [] for k in range(7)}
+    lcs_l, rcs_l = [], []
+    n_slots = 0
+    for pm in pms:
+        sched = reorder_schedule(pm.schedule, n_leaves)
+        arrs, ns, root_slot = compile_register_schedule(sched, n_leaves)
+        n_slots = max(n_slots, ns)
+        for k, a in enumerate(arrs):
+            stacks[k].append(a)
+        stacks[6].append(np.asarray([root_slot], np.int32))
+        _, lcs, rcs, _ = pm._fused_inputs()
+        lcs_l.append(lcs)
+        rcs_l.append(rcs)
+    sched_stack = tuple(jnp.asarray(np.stack(stacks[k])) for k in range(7))
+    lcs_st = jnp.stack(lcs_l)
+    rcs_st = jnp.stack(rcs_l)
+    _, _, _, ttab = pm0._fused_inputs()
+    interpret = cfg.interpret or (jax.default_backend() != "tpu")
+    n_parts = pm0.n_pad // cfg.block_sites
+
+    parts = batched_tree_loglik_parts(
+        sched_stack, lcs_st, rcs_st, pm0._codes, pm0._ec, ttab,
+        pm0._root_rows, pm0._wgt_dev.astype(jnp.float32),
+        jnp.int32(pm0.n_sites), n_edges=E, n_leaves=n_leaves,
+        n_slots=n_slots, states=S, categories=C,
+        block_sites=cfg.block_sites, interpret=interpret,
+        variant=cfg.resolved_kernel_variant, n_parts=n_parts)
+    return np.asarray(parts, np.float64).sum(axis=1)
 
 
 def _unlane_branch(lc, S, C):

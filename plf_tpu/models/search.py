@@ -180,6 +180,26 @@ def _hill_climb(tree: Tree, model: SubstitutionModel, tip_states,
                         config=config)
         return pm.log_likelihood().log_likelihood
 
+    def score_all(cands) -> np.ndarray:
+        """Score a whole neighbourhood in one device dispatch.
+
+        Uses phylo.batch_log_likelihood (register-machine tree kernel
+        with runtime schedules): ONE compile per tree-shape class for
+        the entire search instead of one XLA compile per candidate
+        topology per round.  Falls back to per-candidate evaluation for
+        non-Pallas backends.
+        """
+        from ..config import Backend
+        pm0 = PhyloModel(cands[0], model, tip_states, wgt=wgt,
+                         alpha=alpha, config=config)
+        if pm0.config.backend is Backend.XLA or len(cands) == 1:
+            return np.asarray([ll_of(c) for c in cands])
+        from .phylo import batch_log_likelihood
+        pms = [pm0] + [PhyloModel(c, model, tip_states, wgt=wgt,
+                                  alpha=alpha, config=config)
+                       for c in cands[1:]]
+        return batch_log_likelihood(pms)
+
     current = tree
     best_ll = ll_of(current)
     accepted = start_accepted
@@ -187,12 +207,14 @@ def _hill_climb(tree: Tree, model: SubstitutionModel, tip_states,
     for rnd in range(start_round, max_rounds):
         best_move = None
         best_move_ll = best_ll
-        for cand in neighbors_fn(current):
-            ll = ll_of(cand)
-            evals += 1
-            if ll > best_move_ll + 1e-9:
-                best_move_ll = ll
-                best_move = cand
+        cands = neighbors_fn(current)
+        if cands:
+            lls = score_all(cands)
+            evals += len(cands)
+            i = int(np.argmax(lls))
+            if lls[i] > best_move_ll + 1e-9:
+                best_move_ll = float(lls[i])
+                best_move = cands[i]
         if best_move is None:
             break
         current, best_ll = best_move, best_move_ll

@@ -66,44 +66,58 @@ def _tile_rows(x, copies: int):
     return jnp.concatenate([x] * copies, axis=0)
 
 
+# Inner chunk width of the VPU kernel.  A (16, block) op materialises
+# every intermediate as a block-sized VMEM array; chunking the block into
+# CHUNK-lane tiles keeps the whole stage chain close to the register file
+# and lets Mosaic overlap compute with the grid DMAs (measured on v5e:
+# 1.85 -> 2.5 Gsites/s from chunking, 3.14 with output donation on top —
+# 95% of the chip's measured 637 GB/s HBM ceiling for this 2R+1W pattern).
+CHUNK_SITES = 2048
+
+
 def _plf_kernel(n_ref, x1_ref, x2_ref, lc_ref, rc_ref, ec_ref,
                 x3_ref, sc_ref, *, states: int, categories: int,
                 block_sites: int):
     S, C = states, categories
     BS = block_sites
-
-    # bf16 fast mode: CLVs may be stored bf16 in HBM (half the bandwidth
-    # of the exact fp32 mode); arithmetic is always fp32 in VMEM.
-    x1 = x1_ref[...].astype(jnp.float32)
-    x2 = x2_ref[...].astype(jnp.float32)
-
-    # Stage 1: branch products, sequential fp32 accumulation over source
-    # state a (matches plf.cpp:35-39 order; 0.0+x == x exactly in IEEE).
-    ump1 = _tile_rows(x1[0:C, :], S) * lc_ref[:, 0:1]
-    ump2 = _tile_rows(x2[0:C, :], S) * rc_ref[:, 0:1]
-    for a in range(1, S):
-        ump1 = ump1 + _tile_rows(x1[a * C:(a + 1) * C, :], S) * lc_ref[:, a:a + 1]
-        ump2 = ump2 + _tile_rows(x2[a * C:(a + 1) * C, :], S) * rc_ref[:, a:a + 1]
-
-    # Stage 2: element-wise child product (combine.cpp:28-35 analogue).
-    p = ump1 * ump2
-
-    # Stage 3: eigenvector projection, sequential over k (plf.cpp:45-50).
-    x3 = _tile_rows(p[0:C, :], S) * ec_ref[:, 0:1]
-    for k in range(1, S):
-        x3 = x3 + _tile_rows(p[k * C:(k + 1) * C, :], S) * ec_ref[:, k:k + 1]
-
-    # Stage 4: fused underflow rescale (s2mm_memDNAwindowComb.cpp:71-85).
-    # max-reduce form: max|x3| < 2^-32  <=>  all(|x3| < 2^-32), fewer VPU ops.
-    mask = (jnp.max(jnp.abs(x3), axis=0, keepdims=True)
-            < MIN_LIKELIHOOD)                                 # (1, BS)
+    CH = min(CHUNK_SITES, BS)
     site0 = pl.program_id(0) * BS
-    idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
-    valid = idx < n_ref[0]
-    mask = jnp.logical_and(mask, valid)
-    x3_ref[...] = jnp.where(mask, x3 * TWO_TO_THE_32, x3).astype(
-        x3_ref.dtype)
-    sc_ref[...] = mask.astype(jnp.int32)
+
+    for j in range(BS // CH):
+        o = j * CH
+        # bf16 fast mode: CLVs may be stored bf16 in HBM (half the
+        # bandwidth of the exact fp32 mode); arithmetic is always fp32.
+        x1 = x1_ref[:, o:o + CH].astype(jnp.float32)
+        x2 = x2_ref[:, o:o + CH].astype(jnp.float32)
+
+        # Stage 1: branch products, sequential fp32 accumulation over
+        # source state a (matches plf.cpp:35-39 order; 0.0+x == x
+        # exactly in IEEE).
+        ump1 = _tile_rows(x1[0:C, :], S) * lc_ref[:, 0:1]
+        ump2 = _tile_rows(x2[0:C, :], S) * rc_ref[:, 0:1]
+        for a in range(1, S):
+            ump1 = ump1 + _tile_rows(x1[a * C:(a + 1) * C, :], S) * lc_ref[:, a:a + 1]
+            ump2 = ump2 + _tile_rows(x2[a * C:(a + 1) * C, :], S) * rc_ref[:, a:a + 1]
+
+        # Stage 2: element-wise child product (combine.cpp:28-35 analogue).
+        p = ump1 * ump2
+
+        # Stage 3: eigenvector projection, sequential over k (plf.cpp:45-50).
+        x3 = _tile_rows(p[0:C, :], S) * ec_ref[:, 0:1]
+        for k in range(1, S):
+            x3 = x3 + _tile_rows(p[k * C:(k + 1) * C, :], S) * ec_ref[:, k:k + 1]
+
+        # Stage 4: fused underflow rescale (s2mm_memDNAwindowComb.cpp:71-85).
+        # max-reduce form: max|x3| < 2^-32 <=> all(|x3| < 2^-32); the
+        # rescale multiplies by a selected factor (2^32 or exactly 1.0 —
+        # both exact: *2^32 is an exponent shift, *1.0 an identity).
+        mask = (jnp.max(jnp.abs(x3), axis=0, keepdims=True)
+                < MIN_LIKELIHOOD)                             # (1, CH)
+        idx = site0 + o + jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1)
+        mask = jnp.logical_and(mask, idx < n_ref[0])
+        fac = jnp.where(mask, jnp.float32(TWO_TO_THE_32), jnp.float32(1.0))
+        x3_ref[:, o:o + CH] = (x3 * fac).astype(x3_ref.dtype)
+        sc_ref[:, o:o + CH] = mask.astype(jnp.int32)
 
 
 def _plf_kernel_mxu(n_ref, x1_ref, x2_ref, ml_ref, mr_ref, me_ref,
@@ -140,10 +154,11 @@ def _plf_kernel_mxu(n_ref, x1_ref, x2_ref, ml_ref, mr_ref, me_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("states", "categories", "block_sites", "interpret",
-                     "variant"))
+                     "variant", "donate"))
 def plf_pallas_lane_major(x1, x2, lc, rc, ec, n, *, states: int = 4,
                           categories: int = 4, block_sites: int = 4096,
-                          interpret: bool = False, variant: str = "vpu"):
+                          interpret: bool = False, variant: str = "vpu",
+                          donate: int = 0):
     """Fused PLF on lane-major operands.
 
     Args:
@@ -158,6 +173,12 @@ def plf_pallas_lane_major(x1, x2, lc, rc, ec, n, *, states: int = 4,
       variant: "vpu" (bit-exact tile/concat form) or "mxu" (block-matmul
         form on the systolic array — much faster, exactness verified on
         hardware separately).
+      donate: 0 = none, 1 = write ``x3`` in place over ``x1``'s HBM
+        buffer, 2 = over ``x2``'s.  The donated child must be dead after
+        the call (true for every internal-node child of a post-order
+        traversal, which is consumed exactly once).  Measured on v5e this
+        is worth ~1.6x: it removes the fresh-output allocation from the
+        HBM stream (1.98 -> 3.14 Gsites/s at block 16384).
 
     Returns:
       ``(x3, scaler)``: ``(S*C, n_pad)`` fp32 parent CLV and ``(1, n_pad)``
@@ -185,6 +206,10 @@ def plf_pallas_lane_major(x1, x2, lc, rc, ec, n, *, states: int = 4,
         kernel = functools.partial(_plf_kernel, states=S, categories=C,
                                    block_sites=block_sites)
     bytes_per_block = rows * block_sites * 4
+    extra = {}
+    if donate:
+        # operand index counts the scalar-prefetch arg (n_arr) at 0.
+        extra["input_output_aliases"] = {int(donate): 0}
     x3, scaler = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -208,6 +233,7 @@ def plf_pallas_lane_major(x1, x2, lc, rc, ec, n, *, states: int = 4,
             transcendentals=0,
         ),
         interpret=interpret,
+        **extra,
     )(n_arr, x1, x2, lc, rc, ec)
     return x3, scaler
 

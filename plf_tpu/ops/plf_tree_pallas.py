@@ -372,9 +372,9 @@ def compile_register_schedule(schedule: Sequence[Tuple], n_leaves: int):
 
 
 def _tree_kernel_dynamic(n_ref, lsrc_ref, lflag_ref, rsrc_ref, rflag_ref,
-                         oslot_ref, eidx_ref, codes_ref, lcs_ref, rcs_ref,
-                         ec_ref, ttab_ref, rr_ref, lik_ref, sc_ref,
-                         arena_ref, *, n_edges, n_leaves, root_slot,
+                         oslot_ref, eidx_ref, rslot_ref, codes_ref,
+                         lcs_ref, rcs_ref, ec_ref, ttab_ref, rr_ref,
+                         lik_ref, sc_ref, arena_ref, *, n_edges, n_leaves,
                          states, categories, block_sites, variant):
     S, C = states, categories
     rows = S * C
@@ -412,7 +412,7 @@ def _tree_kernel_dynamic(n_ref, lsrc_ref, lflag_ref, rsrc_ref, rflag_ref,
 
     scaler = jax.lax.fori_loop(0, n_edges, body,
                                jnp.zeros((1, BS), jnp.int32))
-    x_root = arena_ref[root_slot]
+    x_root = arena_ref[rslot_ref[0]]
     lik = rr_ref[0:1, 0:1] * x_root[0:1, :]
     for rrow in range(1, rows):
         lik = lik + rr_ref[0:1, rrow:rrow + 1] * x_root[rrow:rrow + 1, :]
@@ -422,13 +422,17 @@ def _tree_kernel_dynamic(n_ref, lsrc_ref, lflag_ref, rsrc_ref, rflag_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_edges", "n_leaves", "n_slots", "root_slot",
+    static_argnames=("n_edges", "n_leaves", "n_slots",
                      "states", "categories", "block_sites", "interpret",
                      "variant"))
 def _plf_tree_dynamic_call(sched_arrs, codes, lcs, rcs, ec, ttab, rr, n, *,
-                           n_edges, n_leaves, n_slots, root_slot, states,
+                           n_edges, n_leaves, n_slots, states,
                            categories, block_sites, interpret,
                            variant="vpu"):
+    """``sched_arrs`` is the 7-tuple (lsrc, lflag, rsrc, rflag, oslot,
+    eidx, root_slot[1]) of int32 arrays — all runtime inputs, so one
+    compilation serves every topology of the same (n_edges, n_slots)
+    shape class (the tree-search requirement)."""
     S, C = states, categories
     rows = S * C
     n_pad = codes.shape[-1]
@@ -438,14 +442,14 @@ def _plf_tree_dynamic_call(sched_arrs, codes, lcs, rcs, ec, ttab, rr, n, *,
 
     kernel = functools.partial(
         _tree_kernel_dynamic, n_edges=n_edges, n_leaves=n_leaves,
-        root_slot=root_slot, states=S, categories=C,
+        states=S, categories=C,
         block_sites=block_sites, variant=variant)
     nm = lambda i, *_: (0, i)
     c0 = lambda i, *_: (0, 0)
     lik, sc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=8,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((n_leaves, block_sites), nm,
@@ -499,12 +503,54 @@ def plf_tree_pallas_dynamic(codes, schedule, lcs, rcs, ec, tip_table,
         raise ValueError(
             f"arena needs {vmem/2**20:.1f} MiB VMEM ({n_slots} slots x "
             f"block {block_sites}); reduce block_sites")
-    sched_arrs = tuple(jnp.asarray(a) for a in arrs)
+    sched_arrs = tuple(jnp.asarray(a) for a in arrs) + (
+        jnp.asarray([root_slot], jnp.int32),)
     return _plf_tree_dynamic_call(
         sched_arrs, codes, lcs, rcs, ec, tip_table, root_rows, n,
         n_edges=len(schedule), n_leaves=int(n_leaves), n_slots=n_slots,
-        root_slot=root_slot, states=states, categories=categories,
+        states=states, categories=categories,
         block_sites=block_sites, interpret=interpret, variant=variant)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_edges", "n_leaves", "n_slots", "states",
+                     "categories", "block_sites", "interpret", "variant",
+                     "n_parts"))
+def batched_tree_loglik_parts(sched_stack, lcs_st, rcs_st, codes, ec, ttab,
+                              rr, wpad, n, *, n_edges, n_leaves, n_slots,
+                              states, categories, block_sites, interpret,
+                              variant="vpu", n_parts=64):
+    """Score a batch of same-shape topologies in ONE dispatch.
+
+    ``sched_stack``: 8-tuple of int32 arrays stacked over candidates —
+    (lsrc, lflag, rsrc, rflag, oslot, eidx) of shape (B, E) plus the
+    root-slot (B, 1); ``lcs_st``/``rcs_st``: (B, rows, E*S) packed branch
+    constants.  Everything else is shared across candidates.  A
+    ``lax.map`` walks the candidates inside one compiled program — the
+    tree-search answer to the reference-era recompile-per-topology cost
+    (each NNI/SPR round used to trigger one XLA compile per candidate).
+
+    Returns (B, n_parts) fp32 partial sums of the wgt-weighted per-site
+    log-likelihood (rescale counts folded in); host-sum them in float64
+    for the final ll per candidate.
+    """
+    n_pad = codes.shape[-1]
+    chunk = n_pad // n_parts
+
+    def one(args):
+        arrs, lcs, rcs = args
+        lik, sc = _plf_tree_dynamic_call(
+            arrs, codes, lcs, rcs, ec, ttab, rr, n, n_edges=n_edges,
+            n_leaves=n_leaves, n_slots=n_slots, states=states,
+            categories=categories, block_sites=block_sites,
+            interpret=interpret, variant=variant)
+        log_minlik = jnp.float32(np.log(np.float64(2.0) ** -32))
+        site = (jnp.log(jnp.maximum(lik[0], jnp.float32(1e-45)))
+                + sc[0].astype(jnp.float32) * log_minlik) * wpad
+        return jnp.sum(site.reshape(n_parts, chunk), axis=-1)
+
+    return jax.lax.map(one, (sched_stack, lcs_st, rcs_st))
 
 
 def pack_branch_constants(branches, states: int = 4, categories: int = 4):

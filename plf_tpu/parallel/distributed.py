@@ -38,18 +38,19 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     """
     if num_processes is not None and num_processes <= 1:
         return False
-    try:
-        if jax.process_count() > 1:
-            return True  # already initialised
-    except RuntimeError:
-        pass
+    # Do NOT probe jax.process_count() here: it initialises the backend,
+    # after which jax.distributed.initialize() refuses to run.
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes, process_id=process_id)
         return True
-    except (ValueError, RuntimeError):
-        # single-host / unsupported environment: stay local
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return True   # initialised earlier in this process
+        return False      # backend already started single-process
+    except ValueError:
+        # single-host / auto-detection unavailable: stay local
         return False
 
 
