@@ -1,0 +1,78 @@
+"""Prove the StreamingExecutor's host<->device overlap.
+
+The reference distinguishes "intermediate" vs "roundtrip" timing modes
+precisely to show that call k+1's PCIe writes overlap call k's compute
+(host_mem.cpp:287-378).  The TPU equivalent here: run the SAME call
+stream through the executor with inflight=1 (strictly serial: upload ->
+compute -> drain per call) and inflight>=2 (refill-before-drain), and
+compare wall time.  Overlap is proven when pipelined wall time is
+measurably below serial — through the axon tunnel the absolute times are
+transfer-dominated, but the RATIO isolates the overlap.
+
+Also prints the per-phase hm/msm/mh table (utils/timing.py) for both
+modes, mirroring timing.h:107-151.
+
+Run on TPU:  python benchmarks/overlap.py [--sites 1048576] [--calls 8]
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def run_mode(inflight, calls_data, cfg):
+    from plf_tpu.runtime.executor import StreamingExecutor
+    ex = StreamingExecutor(cfg, inflight=inflight)
+    # warm up the kernel compile outside the timed region
+    next(iter(ex.run([calls_data[0]])))
+    ex.timing = type(ex.timing)()
+    t0 = time.perf_counter()
+    inc = 0
+    for _x3, i in ex.run(iter(calls_data)):
+        inc += i
+    wall = time.perf_counter() - t0
+    return wall, inc, ex.timing
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sites", type=int, default=1 << 20)
+    ap.add_argument("--calls", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    from plf_tpu.config import PLFConfig
+    print(f"backend={jax.default_backend()}", file=sys.stderr, flush=True)
+    cfg = PLFConfig(block_sites=4096 if jax.default_backend() == "tpu"
+                    else 128)
+    n = args.sites if jax.default_backend() == "tpu" else 1024
+    rng = np.random.default_rng(0)
+    calls_data = []
+    for k in range(args.calls):
+        x1 = rng.random((n, 16), np.float32)
+        x2 = rng.random((n, 16), np.float32)
+        left = rng.random((4, 4, 4), np.float32)
+        right = rng.random((4, 4, 4), np.float32)
+        ev = rng.random((4, 4), np.float32)
+        calls_data.append((x1, x2, left, right, ev, None))
+
+    from plf_tpu.utils.timing import format_timing_table
+    serial, inc1, t1 = run_mode(1, calls_data, cfg)
+    piped, inc2, t2 = run_mode(2, calls_data, cfg)
+    assert inc1 == inc2, (inc1, inc2)
+    print(f"serial (inflight=1): {serial*1e3:8.1f} ms")
+    print(format_timing_table(t1, 3 * 64 * n, n), file=sys.stderr)
+    print(f"piped  (inflight=2): {piped*1e3:8.1f} ms")
+    print(format_timing_table(t2, 3 * 64 * n, n), file=sys.stderr)
+    overlap = 1.0 - piped / serial
+    print(f"overlap win: {overlap*100:.1f}% "
+          f"({'OVERLAPPED' if overlap > 0.05 else 'no overlap'})")
+    return overlap
+
+
+if __name__ == "__main__":
+    main()

@@ -144,7 +144,8 @@ class StreamingExecutor:
         through the pipelined executor (transfer of chunk k+1 overlaps
         compute of chunk k), results concatenate on host.
 
-        Returns (x3, scaler_vector_total, scaler_increment) site-major.
+        Returns ``(x3, scaler_increment)`` — the (n, C, S) site-major
+        parent CLV and the summed weighted rescale count.
         """
         cfg = self.config
         S, C = cfg.states, cfg.categories
