@@ -30,7 +30,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def make_inputs(n_sites, states, categories, seed=0, variant="vpu"):
+def make_inputs(n_sites, states, categories, seed=0, variant="vpu",
+                dtype="float32"):
     """CLVs generated ON DEVICE (host->HBM transfer of GBs through the
     tunnel would dominate setup); small matrices on host."""
     import jax
@@ -39,13 +40,14 @@ def make_inputs(n_sites, states, categories, seed=0, variant="vpu"):
     rng = np.random.default_rng(seed)
     S, C = states, categories
     e = S * C
+    dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
 
     @jax.jit
     def gen(key):
         k1, k2 = jax.random.split(key)
         x1 = jax.random.uniform(k1, (e, n_sites), jnp.float32, 0.01, 1.0)
         x2 = jax.random.uniform(k2, (e, n_sites), jnp.float32, 0.01, 1.0)
-        return x1, x2
+        return x1.astype(dt), x2.astype(dt)
 
     x1, x2 = gen(jax.random.key(seed))
     left = rng.random((C, S, S), dtype=np.float32)
@@ -63,7 +65,8 @@ def make_inputs(n_sites, states, categories, seed=0, variant="vpu"):
 
 
 def bench_fused(n_sites=1 << 24, iters=None, block=16384, states=4,
-                categories=4, variant="vpu", k_pair=(2, 10)):
+                categories=4, variant="vpu", k_pair=(2, 10),
+                dtype="float32"):
     """Device sites/s of the fused kernel via the slope protocol.
 
     Through the axon tunnel every host->device call carries ~28 ms of
@@ -78,7 +81,8 @@ def bench_fused(n_sites=1 << 24, iters=None, block=16384, states=4,
     from plf_tpu.ops.plf_pallas import plf_pallas_lane_major
 
     S, C = states, categories
-    x1, x2, lc, rc, ec = make_inputs(n_sites, S, C, variant=variant)
+    x1, x2, lc, rc, ec = make_inputs(n_sites, S, C, variant=variant,
+                                     dtype=dtype)
     x1d, x2d = jnp.asarray(x1), jnp.asarray(x2)
     lcd, rcd, ecd = jnp.asarray(lc), jnp.asarray(rc), jnp.asarray(ec)
     n = jnp.int32(n_sites)
@@ -120,9 +124,10 @@ def bench_fused(n_sites=1 << 24, iters=None, block=16384, states=4,
     t_hi = timed(k_pair[1])
     per_iter = max((t_hi - t_lo) / (k_pair[1] - k_pair[0]), 1e-9)
     sites_per_sec = n_sites / per_iter
-    bytes_per_site = (3 * S * C + 1) * 4
+    clv_bytes = 2 if dtype == "bfloat16" else 4
+    bytes_per_site = 3 * S * C * clv_bytes + 4
     gbs = sites_per_sec * bytes_per_site / 1e9
-    log(f"fused kernel[{variant}]: n={n_sites} block={block} "
+    log(f"fused kernel[{variant},{dtype}]: n={n_sites} block={block} "
         f"per-call={per_iter*1e3:.2f}ms (fixed ~{t_lo*1e3:.0f}ms excluded) "
         f"-> {sites_per_sec/1e9:.3f} Gsites/s, {gbs:.0f} GB/s effective")
     return sites_per_sec

@@ -90,7 +90,7 @@ def device_resident(n_sites, block=16384):
     return sps
 
 
-def host_streaming(n_sites, chunk=1 << 22):
+def host_streaming(n_sites, chunk=1 << 20):
     from plf_tpu.config import PLFConfig
     from plf_tpu.runtime.executor import StreamingExecutor
 
@@ -119,7 +119,7 @@ def host_streaming(n_sites, chunk=1 << 22):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sites", type=int, default=100_007_936)
-    ap.add_argument("--stream-sites", type=int, default=1 << 25)
+    ap.add_argument("--stream-sites", type=int, default=1 << 22)
     args = ap.parse_args()
     import jax
     log(f"backend={jax.default_backend()}")

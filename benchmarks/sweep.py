@@ -179,6 +179,18 @@ def main():
                 except Exception as e:
                     log(f"states={states} {v}: {type(e).__name__}: {e}")
 
+    # bf16 fast mode: CLVs stored bf16 in HBM, fp32 arithmetic in VMEM
+    # (halves the memory traffic of the HBM-bound kernel; non-exact)
+    if want("plf_bf16"):
+        block = 128 if quick else 16384
+        n = pad(1 << 12 if quick else 1 << 24, block)
+        try:
+            sps = bench_fused(n_sites=n, block=block, dtype="bfloat16")
+            record("plf_node", sites=n, block=block, states=4,
+                   variant="vpu-bf16", sites_per_sec=round(sps))
+        except Exception as e:
+            log(f"bf16: {type(e).__name__}: {e}")
+
     # XLA elementwise backend comparison (smaller n: the autodiff-style
     # elementwise path materialises (n, C, S) intermediates and a K-chain
     # scan OOMs HBM beyond ~1M sites)

@@ -471,7 +471,9 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
             dtype=jnp.float32), min_length)),
     }
 
-    def loglik(params, rates_gamma):
+    def loglik(params, rates_gamma, codes):
+        # codes is a jit ARGUMENT: closing over it embeds the whole tip
+        # matrix as an HLO constant (bloats the module at large n).
         lam, u, w, pi = _gtr_eigen_jnp(params["log_rates"],
                                        params["logits_pi"], S)
         lam = lam.astype(jnp.float32)
@@ -486,7 +488,7 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
                              axis=1)               # tip table (S, S+1)
 
         def tip_clv(leaf):
-            onehot = (codes_dev[leaf][None, :] ==
+            onehot = (codes[leaf][None, :] ==
                       jnp.arange(S + 1)[:, None]).astype(jnp.float32)
             x = jnp.matmul(wg, onehot,
                            precision=jax.lax.Precision.HIGHEST)
@@ -519,17 +521,21 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
                 -jnp.sum(jnp.exp(log_pc)))
         return ll
 
-    loglik_c = jax.jit(loglik)
+    _loglik_j = jax.jit(loglik)
+    loglik_c = lambda params, rg: _loglik_j(params, rg, codes_dev)
     rg = rates_gamma
     ll0 = float(loglik_c(params0, rg))
     opt = optax.adam(learning_rate)
     state = opt.init(params0)
 
     @jax.jit
-    def step(params, state, rg):
-        val, g = jax.value_and_grad(lambda p: -loglik(p, rg))(params)
+    def _step(params, state, rg, codes):
+        val, g = jax.value_and_grad(
+            lambda p: -loglik(p, rg, codes))(params)
         updates, state = opt.update(g, state)
         return optax.apply_updates(params, updates), state, val
+
+    step = lambda params, state, rg: _step(params, state, rg, codes_dev)
 
     params = params0
     alpha_hat = None

@@ -385,7 +385,10 @@ def _tree_kernel_dynamic(n_ref, lsrc_ref, lflag_ref, rsrc_ref, rflag_ref,
 
     def fetch(src, flag):
         def from_tip():
-            code_row = codes_ref[pl.ds(src, 1), :]
+            # codes ride a (n_leaves, 1, BS) ref: the dynamic index is on
+            # the leading (untiled) dim — Mosaic cannot index lanes or
+            # sublanes at runtime-unaligned offsets.
+            code_row = codes_ref[src]
             return _expand_tip(code_row, ttab_ref, S)
 
         def from_slot():
@@ -393,14 +396,13 @@ def _tree_kernel_dynamic(n_ref, lsrc_ref, lflag_ref, rsrc_ref, rflag_ref,
 
         return jax.lax.cond(flag == 0, from_tip, from_slot)
 
-    W = S * C if variant == "mxu" else S
-
     def body(i, scaler):
         e = eidx_ref[i]
         x1 = fetch(lsrc_ref[i], lflag_ref[i])
         x2 = fetch(rsrc_ref[i], rflag_ref[i])
-        lcv = lcs_ref[:, pl.ds(e * W, W)]
-        rcv = rcs_ref[:, pl.ds(e * W, W)]
+        # per-edge operators ride an (E, rows, W) ref for the same reason
+        lcv = lcs_ref[e]
+        rcv = rcs_ref[e]
         if variant == "mxu":
             x3, mask = _plf_node_mxu(x1, x2, lcv, rcv, ec_ref[...], valid)
         else:
@@ -438,33 +440,43 @@ def _plf_tree_dynamic_call(sched_arrs, codes, lcs, rcs, ec, ttab, rr, n, *,
     n_pad = codes.shape[-1]
     grid = (n_pad // block_sites,)
     n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
-    ES = lcs.shape[-1]
+    W = rows if variant == "mxu" else S
+
+    # Dynamic per-edge / per-leaf indexing must land on a LEADING dim
+    # (Mosaic rejects runtime lane offsets that are not 128-multiples):
+    # operators (rows, E*W) -> (E, rows, W); codes (L, n) -> (L, 1, n).
+    lcs3 = jnp.transpose(lcs.reshape(rows, n_edges, W), (1, 0, 2))
+    rcs3 = jnp.transpose(rcs.reshape(rows, n_edges, W), (1, 0, 2))
+    codes3 = codes.reshape(codes.shape[0], 1, n_pad)
 
     kernel = functools.partial(
         _tree_kernel_dynamic, n_edges=n_edges, n_leaves=n_leaves,
         states=S, categories=C,
         block_sites=block_sites, variant=variant)
-    nm = lambda i, *_: (0, i)
+    nm3 = lambda i, *_: (0, 0, i)
     c0 = lambda i, *_: (0, 0)
+    c03 = lambda i, *_: (0, 0, 0)
     lik, sc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=8,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((n_leaves, block_sites), nm,
+                pl.BlockSpec((n_leaves, 1, block_sites), nm3,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, ES), c0, memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, ES), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_edges, rows, W), c03,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_edges, rows, W), c03,
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((rows, ec.shape[-1]), c0,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((rows, S + 1), c0, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, rows), c0, memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((1, block_sites), nm,
+                pl.BlockSpec((1, block_sites), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_sites), nm,
+                pl.BlockSpec((1, block_sites), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
@@ -481,7 +493,7 @@ def _plf_tree_dynamic_call(sched_arrs, codes, lcs, rcs, ec, ttab, rr, n, *,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n_arr, *sched_arrs, codes, lcs, rcs, ec, ttab, rr)
+    )(n_arr, *sched_arrs, codes3, lcs3, rcs3, ec, ttab, rr)
     return lik, sc
 
 
