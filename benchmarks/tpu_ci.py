@@ -1,0 +1,125 @@
+"""Single-process TPU CI: exactness + headline bench + overlap, one lease.
+
+The axon tunnel grants ONE client the TPU lease and a new process can
+wait minutes for the previous lease to clear, so per-round hardware
+validation must run as ONE process.  This script chains the round's
+hardware gates in-process and prints a PASS/FAIL summary:
+
+  1. hw_verify          — bit-exact kernel suite (engine, fuzz, fixtures,
+                          tree kernel, codon mxu)
+  2. tree-grad check    — whole-tree VJP vs per-node VJP on hardware
+  3. bench.py headline  — the JSON line (plf_dna_sites_per_sec)
+  4. executor overlap   — hm(k+1) overlaps msm(k) proof
+
+Run:  python benchmarks/tpu_ci.py [--skip overlap] [--skip bench]
+Exit code 0 only if every section passed.  Mirrors the reference's
+run-per-build validation (host_mem.cpp golden verify + run_all.sh),
+collapsed into a lease-friendly shape.
+"""
+
+import argparse
+import contextlib
+import io
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+SECTIONS = []
+
+
+def section(name, fn):
+    t0 = time.perf_counter()
+    print(f"\n=== {name} ===", flush=True)
+    try:
+        fn()
+        ok = True
+    except SystemExit as e:
+        ok = (e.code in (0, None))
+    except Exception:
+        traceback.print_exc()
+        ok = False
+    dt = time.perf_counter() - t0
+    SECTIONS.append((name, ok, dt))
+    print(f"=== {name}: {'PASS' if ok else 'FAIL'} ({dt:.1f}s) ===",
+          flush=True)
+
+
+def run_hw_verify():
+    from benchmarks import hw_verify
+    hw_verify.main()
+
+
+def run_treegrad():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from plf_tpu.models.phylo import PhyloModel
+    from plf_tpu.models.tree import random_tree
+    from plf_tpu.models.substitution import gtr
+    from plf_tpu.models.optimize import tree_loglik_fn
+
+    rng = np.random.default_rng(7)
+    n_taxa, n_sites = 16, 20000
+    tree = random_tree(n_taxa, seed=3)
+    aln = rng.integers(0, 4, size=(n_taxa, n_sites)).astype(np.int32)
+    model = gtr(rates=rng.random(6) + 0.5, pi=np.array([.1, .2, .3, .4]))
+    pm = PhyloModel(tree, model, aln, alpha=0.7)
+    f_tree, t0 = tree_loglik_fn(pm, backend="tree")
+    f_node, _ = tree_loglik_fn(pm, backend="pallas")
+    t0j = jnp.asarray(t0)
+    ll_t, g_t = jax.value_and_grad(f_tree)(t0j)
+    ll_n, g_n = jax.value_and_grad(f_node)(t0j)
+    rel = abs(float(ll_t) - float(ll_n)) / abs(float(ll_n))
+    grel = float(np.max(np.abs(np.asarray(g_t) - np.asarray(g_n))
+                        / (np.abs(np.asarray(g_n)) + 1e-3)))
+    print(f"ll rel {rel:.2e}  grad max rel {grel:.2e}", flush=True)
+    assert rel < 1e-6 and grel < 1e-3
+
+
+def run_bench():
+    import bench
+    saved = sys.argv
+    sys.argv = ["bench.py"]
+    try:
+        bench.main()
+    finally:
+        sys.argv = saved
+
+
+def run_overlap():
+    from benchmarks import overlap
+    overlap.main()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip", action="append", default=[],
+                    choices=["hw_verify", "treegrad", "bench", "overlap"])
+    args = ap.parse_args()
+
+    import jax
+    print("devices:", jax.devices(), flush=True)
+
+    all_sections = [("hw_verify", run_hw_verify),
+                    ("treegrad", run_treegrad),
+                    ("bench", run_bench),
+                    ("overlap", run_overlap)]
+    for name, fn in all_sections:
+        if name in args.skip:
+            print(f"=== {name}: SKIPPED ===", flush=True)
+            continue
+        section(name, fn)
+
+    print("\n===== TPU CI SUMMARY =====", flush=True)
+    failed = False
+    for name, ok, dt in SECTIONS:
+        print(f"  {name:12s} {'PASS' if ok else 'FAIL'} ({dt:.1f}s)",
+              flush=True)
+        failed |= not ok
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,7 +38,9 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 __all__ = ["encode_window_lanes", "decode_window_lanes",
-           "encode_stream_lanes", "decode_stream_lanes"]
+           "encode_stream_lanes", "decode_stream_lanes",
+           "encode_window1in_lanes", "decode_window1in_lanes",
+           "encode_output_lanes", "decode_output_lanes"]
 
 
 def _check_layout(layout: str) -> str:
@@ -210,6 +212,105 @@ def encode_stream_lanes(ev, left, right, x1, x2, layout: str = "combined"
                      _lane_data(clv, lane)]
             out[side].append(np.concatenate(beats, axis=0))
     return out
+
+
+def encode_window1in_lanes(ev, left, right, x1, x2,
+                           window_sites: int = 64
+                           ) -> Dict[str, List[np.ndarray]]:
+    """Encode inputs in the LEGACY ``uint128x4window1in`` wire format.
+
+    The first-generation PL movers (ref mm2sleft_uint128x4window1in.cpp:
+    49-108, mm2sright_uint128x4window1in.cpp:45-95) use a hybrid layout
+    that predates the Comb/Sep split: per window each data stream s<c>
+    carries [transposed branch block (4 beats) | one beat per site], the
+    FULL 4x4 EV rides a dedicated sEV stream (4 beats/window, LEFT mover
+    only — the right mover has no EV port at all), and the last partial
+    window is zero-filled (lines 85-92).  Site records are 512-bit
+    site-major words; lane c takes floats [4c:4c+4] = rate category c
+    (lines 96-106), identical to the modern codecs.
+
+    Returns {"left": [4 streams], "right": [4 streams],
+    "left_ev": [1 stream]}, each stream an (beats, 4) float32 array.
+    """
+    ev = np.asarray(ev, np.float32).reshape(4, 4)
+    left = np.asarray(left, np.float32).reshape(4, 4, 4)
+    right = np.asarray(right, np.float32).reshape(4, 4, 4)
+    x1 = np.asarray(x1, np.float32).reshape(-1, 4, 4)
+    x2 = np.asarray(x2, np.float32).reshape(-1, 4, 4)
+    n = x1.shape[0]
+    n_pad = -(-n // window_sites) * window_sites
+    pad = n_pad - n
+    if pad:
+        z = np.zeros((pad, 4, 4), np.float32)
+        x1 = np.concatenate([x1, z])
+        x2 = np.concatenate([x2, z])
+    n_windows = n_pad // window_sites
+
+    out: Dict[str, List[np.ndarray]] = {"left": [], "right": []}
+    for side, branch, clv in (("left", left, x1), ("right", right, x2)):
+        for lane in range(4):
+            data = _lane_data(clv, lane)
+            bt = _branch_t(branch, lane)
+            beats = []
+            for w in range(n_windows):
+                beats.append(bt)
+                beats.append(data[w * window_sites:(w + 1) * window_sites])
+            out[side].append(np.concatenate(beats, axis=0))
+    out["left_ev"] = [np.tile(ev, (n_windows, 1))]
+    return out
+
+
+def decode_window1in_lanes(lanes: Dict[str, List[np.ndarray]],
+                           window_sites: int = 64,
+                           n_sites: int | None = None
+                           ) -> Tuple[np.ndarray, ...]:
+    """Inverse of encode_window1in_lanes -> (ev, left, right, x1, x2)."""
+    ev = lanes["left_ev"][0][0:4]
+    beats_per_window = 4 + window_sites
+    branches = {}
+    datas = {}
+    for side in ("left", "right"):
+        lane_datas = []
+        for beats in lanes[side]:
+            n_windows = beats.shape[0] // beats_per_window
+            branches.setdefault(side, []).append(beats[0:4].T)
+            chunks = [beats[w * beats_per_window + 4:
+                            (w + 1) * beats_per_window]
+                      for w in range(n_windows)]
+            lane_datas.append(np.concatenate(chunks, axis=0))
+        datas[side] = np.stack(lane_datas, axis=1)  # (n_pad, 4, 4)
+    x1, x2 = datas["left"], datas["right"]
+    if n_sites is not None:
+        x1, x2 = x1[:n_sites], x2[:n_sites]
+    return ev, np.stack(branches["left"]), np.stack(branches["right"]), \
+        x1, x2
+
+
+def encode_output_lanes(x3, window_sites: int = 64
+                        ) -> List[np.ndarray]:
+    """Serialise a result CLV as the four s2mm lane streams.
+
+    The device emits one beat per (padded) site on each of the four
+    output streams; lane c carries floats [4c:4c+4] of the 512-bit
+    site record (ref s2mm_uint128x4window1in.cpp:44-57 — the s2mm writes
+    mem[i] from the four stream reads and drains the zero-fill beats of
+    the last partial window without storing them).
+    """
+    x3 = np.asarray(x3, np.float32).reshape(-1, 4, 4)
+    n = x3.shape[0]
+    n_pad = -(-n // window_sites) * window_sites
+    if n_pad != n:
+        x3 = np.concatenate(
+            [x3, np.zeros((n_pad - n, 4, 4), np.float32)])
+    return [_lane_data(x3, lane) for lane in range(4)]
+
+
+def decode_output_lanes(streams: List[np.ndarray],
+                        n_sites: int) -> np.ndarray:
+    """s2mm semantics: assemble site records from the four lane streams,
+    keeping only the first ``n_sites`` (padding beats are read and
+    dropped, s2mm_uint128x4window1in.cpp:52-56)."""
+    return np.stack([s[:n_sites] for s in streams], axis=1)
 
 
 def decode_stream_lanes(lanes: Dict[str, List[np.ndarray]],

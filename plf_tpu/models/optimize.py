@@ -54,7 +54,8 @@ def _plf_stage(x1, x2, left, right, ev, S, C):
 
 
 def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False,
-                   with_weights: bool = False, backend: str = "auto"):
+                   with_weights: bool = False, backend: str = "auto",
+                   mesh=None):
     """Build ``(branch_lengths) -> log_likelihood`` as a pure jittable fn.
 
     ``branch_lengths``: (n_nodes-1,) vector indexed by child node (every
@@ -66,12 +67,34 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False,
     (C,) category mixture weights — ``(t_vec, rates, weights)`` — for
     +I proportion searches (implies with_rates).
 
-    ``backend``: "pallas" routes every PLF node through the fused kernel
-    + its custom VJP (ops/plf_grad.py); "xla" uses the element-wise jnp
-    stages; "auto" picks pallas on TPU.
+    ``backend``: "tree" runs the whole traversal (forward AND backward)
+    as single fused tree kernels with a checkpointed in-VMEM backward
+    (ops/plf_tree_grad.py — VJP residuals are O(E*S^2), not
+    O(E*sites)); "pallas" routes every PLF node through the fused
+    single-node kernel + its custom VJP (ops/plf_grad.py); "xla" uses
+    the element-wise jnp stages.  "auto" on TPU picks pallas — measured
+    ~25% faster per evaluation (the S=4 kernel is compute-bound, so the
+    tree backward's recompute isn't free) — EXCEPT when the per-node
+    VJP's O(E*sites) HBM residuals would not fit
+    (_PERNODE_RESIDUAL_BUDGET), where the tree backend is the only
+    gradient path that scales (benchmarks/treegrad_bench.py).
     """
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        if mesh is not None:
+            backend = "tree"
+        elif jax.default_backend() == "tpu":
+            resid = 3 * len(pm.schedule) * pm.config.rows * pm.n_pad * 4
+            backend = ("tree" if resid > _PERNODE_RESIDUAL_BUDGET
+                       and _tree_backend_block(pm) else "pallas")
+        else:
+            backend = "xla"
+    if mesh is not None and backend != "tree":
+        raise ValueError(
+            "mesh-sharded gradients require backend='tree' (the "
+            "checkpointed whole-tree VJP is the shard-local kernel)")
+    if backend == "tree":
+        return _tree_loglik_fn_tree(pm, with_rates=with_rates,
+                                    with_weights=with_weights, mesh=mesh)
     if backend == "pallas":
         return _tree_loglik_fn_pallas(pm, with_rates=with_rates,
                                       with_weights=with_weights)
@@ -254,6 +277,160 @@ def _tree_loglik_fn_pallas(pm: PhyloModel, with_rates: bool = False,
     if with_rates:
         return (lambda t_vec, r_vec: jfn(t_vec, r_vec, cw, codes_dev)), t0
     return (lambda t_vec: jfn(t_vec, rates, cw, codes_dev)), t0
+
+
+#: HBM budget for the per-node custom-VJP residuals (x1/x2/x3 per node,
+#: 3 * E * rows * n_pad * 4 bytes).  Above this, gradient evaluations
+#: switch to the checkpointed whole-tree backend whose residuals are
+#: site-independent (v5e has 16 GB HBM; leave room for inputs + XLA).
+_PERNODE_RESIDUAL_BUDGET = 4 * 2 ** 30
+
+
+def _tree_backend_block(pm: PhyloModel,
+                        vmem_budget: int = 10 * 2 ** 20) -> Optional[int]:
+    """Largest usable block for the checkpointed tree backward, or None.
+
+    The backward arena holds every tip + node CLV for one site block:
+    (E + n_leaves) * rows * block * 4 bytes
+    (ops/plf_tree_grad.tree_bwd_vmem_bytes).  Halve the block until it
+    fits (it must still divide n_pad, which is a multiple of
+    config.block_sites)."""
+    from ..ops.plf_tree_grad import tree_bwd_vmem_bytes
+
+    cfg = pm.config
+    E = len(pm.schedule)
+    bs = cfg.block_sites
+    while bs >= 128:
+        if (tree_bwd_vmem_bytes(E, pm.tree.n_leaves, cfg.rows, bs)
+                <= vmem_budget and pm.n_pad % bs == 0):
+            return bs
+        bs //= 2
+    return None
+
+
+def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
+                         with_weights: bool = False, mesh=None):
+    """Whole-tree fused backend of :func:`tree_loglik_fn`: ONE kernel
+    dispatch forward and ONE backward per evaluation, with the backward
+    recomputing CLVs in a VMEM arena (ops/plf_tree_grad.py).  Branch
+    lengths / rates / mixture weights chain through the per-edge
+    lane-constant stacks and the root-row vector.
+
+    With ``mesh`` (a Mesh with a "sites" axis) the kernels run under
+    shard_map with the site axis sharded: each device executes the
+    forward AND checkpointed backward on its shard only, and shard_map's
+    transpose psums the replicated operand cotangents (the per-edge
+    operator-stack gradients) over ICI — a fully distributed training
+    step whose only cross-device traffic is O(E*S^2) gradient stacks
+    plus the scalar reduction."""
+    from ..ops import layout as L
+    from ..ops.plf_tree_grad import make_tree_diff, tree_bwd_vmem_bytes
+    from ..ops.plf_tree_pallas import reorder_schedule
+
+    cfg = pm.config
+    S, C = cfg.states, cfg.categories
+    model = pm.model
+    n_leaves = pm.tree.n_leaves
+    n, n_pad = pm.n_sites, pm.n_pad
+    interpret = cfg.interpret or (jax.default_backend() != "tpu")
+    bs = _tree_backend_block(pm)
+    if bs is None:
+        raise ValueError(
+            f"tree too large for the checkpointed backward "
+            f"({len(pm.schedule)} edges); use backend='pallas'")
+    sched_r = reorder_schedule(pm.schedule, n_leaves)
+    pairs = [(l, r) for (_, l, r, *_rest) in sched_r]
+
+    codes_np = np.asarray(pm._codes)
+    if mesh is not None:
+        # site axis sharded: repad so every shard is a block multiple
+        ndev = mesh.shape["sites"]
+        unit = ndev * bs
+        n_pad = max(unit, -(-n // unit) * unit)
+        if codes_np.shape[-1] < n_pad:
+            codes_np = np.concatenate(
+                [codes_np, np.full((n_leaves, n_pad - codes_np.shape[-1]),
+                                   S, np.int32)], axis=-1)
+        codes_np = codes_np[:, :n_pad]
+        shard = n_pad // ndev
+
+    u = jnp.asarray(model.u, jnp.float32)
+    lam = jnp.asarray(model.eigenvalues, jnp.float32)
+    rates = jnp.asarray(pm.rates, jnp.float32)
+    pi_u = jnp.asarray(model.root_vector, jnp.float32)
+    cw = jnp.asarray(pm.rate_weights, jnp.float32)
+    ec = jnp.asarray(L.ev_to_lane_constants(model.plf_ev, S, C))
+    wpad = jnp.asarray(np.concatenate(
+        [pm.wgt.astype(np.float32), np.zeros(n_pad - n, np.float32)]))
+    wg_tbl = np.concatenate(
+        [model.w, model.w.sum(axis=1, keepdims=True)],
+        axis=1).astype(np.float32)
+    ttab_rep = jnp.asarray(np.repeat(wg_tbl, C, axis=0))   # (rows, S+1)
+    codes3 = codes_np.reshape(n_leaves, 1, n_pad)
+
+    tdiff_local = make_tree_diff(sched_r, n_leaves, states=S, categories=C,
+                                 block_sites=bs, interpret=interpret)
+    if mesh is None:
+        tdiff = tdiff_local
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        def tdiff(codes3, lcs3, rcs3, ec, ttab, rr, ns):
+            def local(codes_s, lcs3, rcs3, ec, ttab, rr, ns):
+                rank = jax.lax.axis_index("sites")
+                n_local = jnp.clip(ns - rank * shard, 0, shard)
+                return tdiff_local(codes_s, lcs3, rcs3, ec, ttab, rr,
+                                   n_local)
+
+            rep = P(None, None)
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(None, None, "sites"), P(None, None, None),
+                          P(None, None, None), rep, rep, rep, P()),
+                out_specs=(P(None, "sites"), P(None, "sites")),
+                check_vma=False,
+            )(codes3, lcs3, rcs3, ec, ttab, rr, ns)
+    t0 = np.array([pm.tree.nodes[i].length
+                   for i in range(pm.tree.n_nodes - 1)], np.float32)
+
+    def lane_const(t, r_vec):
+        e = jnp.exp(lam[None, :] * t * r_vec[:, None])     # (C, S) [c, a]
+        b = u[None, :, :] * e[:, None, :]                  # [c, k, a]
+        return jnp.transpose(b, (1, 0, 2)).reshape(S * C, S)
+
+    asc = pm.ascertainment == "lewis"
+    d0 = pm.n_sites_obs
+    w_total = float(np.sum(pm.wgt))
+    n_dev = jnp.int32(n)
+
+    def loglik_rates(t_vec, r_vec, w_vec, codes3):
+        # per-edge operator stacks, position-indexed on the reordered
+        # schedule (vmap over the gathered child branch lengths)
+        t_l = jnp.stack([t_vec[l] for l, _ in pairs])
+        t_r = jnp.stack([t_vec[r] for _, r in pairs])
+        lcs3 = jax.vmap(lambda t: lane_const(t, r_vec))(t_l)
+        rcs3 = jax.vmap(lambda t: lane_const(t, r_vec))(t_r)
+        rr = (jnp.repeat(pi_u, C) * jnp.tile(w_vec, S))[None, :]
+        lik, sc = tdiff(codes3, lcs3, rcs3, ec, ttab_rep, rr, n_dev)
+        site_ll = jnp.log(jnp.maximum(lik[0, :n], jnp.float32(1e-45)))
+        sc_row = sc[0].astype(jnp.float32)
+        scaler = jnp.sum(sc_row * wpad)
+        ll = (jnp.sum(site_ll * wpad[:n])
+              + scaler * jnp.float32(LOG_MINLIK))
+        if asc:
+            log_pc = (site_ll[d0:]
+                      + sc_row[d0:n] * jnp.float32(LOG_MINLIK))
+            p_const = jnp.sum(jnp.exp(log_pc))
+            ll = ll - w_total * jnp.log1p(-p_const)
+        return ll
+
+    jfn = jax.jit(loglik_rates)
+    if with_weights:
+        return (lambda t_vec, r_vec, w_vec:
+                jfn(t_vec, r_vec, w_vec, codes3)), t0
+    if with_rates:
+        return (lambda t_vec, r_vec: jfn(t_vec, r_vec, cw, codes3)), t0
+    return (lambda t_vec: jfn(t_vec, rates, cw, codes3)), t0
 
 
 def optimize_branch_lengths(pm: PhyloModel, steps: int = 100,

@@ -1,0 +1,304 @@
+"""Custom VJP for the fused whole-tree kernel: checkpointed backward.
+
+Round 1/2 gradients ran node-by-node through the fused single-node PLF
+kernel and its custom VJP (ops/plf_grad.py): every internal node writes
+its CLV to HBM on the forward pass (VJP residual) and the backward pass
+re-reads five site-sized arrays per node.  The whole-tree forward kernel
+(ops/plf_tree_pallas.py) already proves the entire traversal fits in
+VMEM per site block — this module gives that kernel a backward pass with
+the same property:
+
+* forward = the production register-machine tree kernel (one dispatch,
+  no intermediate HBM CLVs).  The only residuals saved are the kernel's
+  small operand arrays (tip codes, per-edge operators, EV) — O(E * S^2)
+  floats, NOT O(E * sites).
+* backward = ONE more Pallas kernel per site block:
+    phase 1  recompute the forward traversal, storing every node CLV in
+             a VMEM arena indexed by schedule position (the classic
+             "checkpoint at zero memory, recompute inside the tile"
+             trade — the PLF is bandwidth-bound, so the extra VPU work
+             is free);
+    phase 2  reverse sweep: for node i (root downward) the arena slot of
+             node i holds the *adjoint* of node i (written by its
+             parent's step; each node has exactly one parent), while the
+             slots of its children still hold their CLVs — a slot flips
+             from CLV to adjoint exactly when the CLV dies, so ONE
+             (n_leaves + E)-slot arena (tips preloaded, see
+             compile_backward_schedule) serves both phases branch-free.
+  Per-edge operator gradients (g_lcs, g_rcs), the EV gradient and the
+  root-vector gradient accumulate across the grid in VMEM and come out
+  as small (E, rows, S)-shaped arrays; HBM site traffic is just the tip
+  codes (again) and the incoming likelihood cotangent.
+
+The adjoint identities are the same as ops/plf_grad.py: the adjoint of a
+tile/concat stage is the same stage with transposed lane constants
+(lcT[a*C+c, k] = lc[k*C+c, a]), and the rescale factor (2^32 or 1) is
+locally constant so d x3 = f * d y.
+
+Reference anchor: the reference wishes for on-device parameter updates
+(/root/reference/README.md:201-205); its hardware cannot hold a tree in
+tile memory (16 KiB/tile, aie graph windows) — a TPU core's ~16 MB VMEM
+is what makes this whole-tree backward possible.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..reference import TWO_TO_THE_32
+from .plf_grad import _op_grad, _stage, transpose_lane_constants
+from .plf_tree_pallas import (_expand_tip, _plf_node,
+                              _plf_tree_dynamic_call3,
+                              compile_register_schedule)
+
+__all__ = ["make_tree_diff", "compile_backward_schedule",
+           "tree_bwd_vmem_bytes"]
+
+
+def compile_backward_schedule(schedule: Sequence[Tuple], n_leaves: int):
+    """Unified-arena operand indices for the checkpointed backward.
+
+    Unlike :func:`compile_register_schedule` (which allocates/frees a
+    minimal slot arena), the backward kernel keeps EVERY node CLV live
+    through phase 1.  The arena is unified with the expanded tips —
+    slots [0, n_leaves) hold tip CLVs, slot ``n_leaves + i`` the CLV of
+    schedule entry i — so operand fetches and adjoint writes need no
+    leaf/internal branch in the kernel (adjoint writes to a tip slot are
+    dead stores: every node is referenced exactly once as a child).
+    Returns int32 arrays (E,): (lpos, rpos) in unified coordinates.
+    """
+    pos_of = {entry[0]: n_leaves + i for i, entry in enumerate(schedule)}
+    lpos = [node if node < n_leaves else pos_of[node]
+            for (_, node, _r, *_rest) in schedule]
+    rpos = [node if node < n_leaves else pos_of[node]
+            for (_, _l, node, *_rest) in schedule]
+    return np.asarray(lpos, np.int32), np.asarray(rpos, np.int32)
+
+
+def tree_bwd_vmem_bytes(n_edges: int, n_leaves: int, rows: int,
+                        block_sites: int) -> int:
+    """Arena + factor scratch footprint of the backward kernel."""
+    return ((n_edges + n_leaves) * rows * block_sites * 4
+            + n_edges * block_sites * 4)
+
+
+def _tree_bwd_kernel(n_ref, lpos_ref, rpos_ref,
+                     codes_ref, lcs_ref, rcs_ref, lcsT_ref, rcsT_ref,
+                     ec_ref, ecT_ref, ttab_ref, rrT_ref, glik_ref,
+                     gl_ref, gr_ref, gec_ref, grrT_ref,
+                     arena_ref, fac_ref, *, n_edges, n_leaves, states,
+                     categories, block_sites):
+    S, C = states, categories
+    BS = block_sites
+    site0 = pl.program_id(0) * BS
+    idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
+    valid = idx < n_ref[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        gl_ref[...] = jnp.zeros_like(gl_ref)
+        gr_ref[...] = jnp.zeros_like(gr_ref)
+        gec_ref[...] = jnp.zeros_like(gec_ref)
+        grrT_ref[...] = jnp.zeros_like(grrT_ref)
+
+    # Unified arena (see compile_backward_schedule): tips preloaded into
+    # slots [0, n_leaves), node CLVs at n_leaves + schedule position —
+    # operand fetches are branch-free dynamic reads on the leading dim.
+    def preload(l, _):
+        arena_ref[l] = _expand_tip(codes_ref[l], ttab_ref, S)
+        return 0
+
+    jax.lax.fori_loop(0, n_leaves, preload, 0)
+
+    # ---- phase 1: forward recompute, all node CLVs checkpointed ---------
+    def fwd_body(i, _):
+        lcv = lcs_ref[i]
+        rcv = rcs_ref[i]
+        x1 = arena_ref[lpos_ref[i]]
+        x2 = arena_ref[rpos_ref[i]]
+        x3, mask = _plf_node(x1, x2, lambda a: lcv[:, a:a + 1],
+                             lambda a: rcv[:, a:a + 1], ec_ref, valid,
+                             S, C)
+        arena_ref[n_leaves + i] = x3
+        fac_ref[i] = jnp.where(mask > 0, jnp.float32(TWO_TO_THE_32),
+                               jnp.float32(1.0))
+        return 0
+
+    jax.lax.fori_loop(0, n_edges, fwd_body, 0)
+
+    # ---- seed: root adjoint + root-vector gradient ----------------------
+    g = glik_ref[...] * valid.astype(jnp.float32)          # (1, BS)
+    x_root = arena_ref[n_leaves + n_edges - 1]
+    grrT_ref[...] += jnp.sum(x_root * g, axis=1, keepdims=True)
+    arena_ref[n_leaves + n_edges - 1] = rrT_ref[...] * g   # (rows, BS)
+
+    # ---- phase 2: reverse sweep (slots flip CLV -> adjoint) -------------
+    def bwd_body(j, _):
+        i = n_edges - 1 - j
+        g_x3 = arena_ref[n_leaves + i]                     # adjoint of x3
+        g_y = g_x3 * fac_ref[i]
+        lcv = lcs_ref[i]
+        rcv = rcs_ref[i]
+        x1 = arena_ref[lpos_ref[i]]
+        x2 = arena_ref[rpos_ref[i]]
+        u1 = _stage(x1, lcv, S, C)
+        u2 = _stage(x2, rcv, S, C)
+        g_p = _stage(g_y, ecT_ref, S, C)
+        g_u1 = g_p * u2
+        g_u2 = g_p * u1
+        gl_ref[i] += _op_grad(x1, g_u1, S, C)
+        gr_ref[i] += _op_grad(x2, g_u2, S, C)
+        gec_ref[...] += _op_grad(u1 * u2, g_y, S, C)
+        # child adjoint writes are unconditional: a leaf child's slot is
+        # dead after this step (each node has exactly one parent), so
+        # clobbering a tip slot is harmless
+        arena_ref[lpos_ref[i]] = _stage(g_u1, lcsT_ref[i], S, C)
+        arena_ref[rpos_ref[i]] = _stage(g_u2, rcsT_ref[i], S, C)
+        return 0
+
+    jax.lax.fori_loop(0, n_edges, bwd_body, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_edges", "n_leaves", "states", "categories",
+                     "block_sites", "interpret"))
+def _tree_bwd_call(bwd_arrs, codes3, lcs3, rcs3, lcsT3, rcsT3, ec, ecT,
+                   ttab, rrT, glik, n, *, n_edges, n_leaves, states,
+                   categories, block_sites, interpret):
+    S, C = states, categories
+    rows = S * C
+    n_pad = codes3.shape[-1]
+    grid = (n_pad // block_sites,)
+    n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
+
+    kernel = functools.partial(
+        _tree_bwd_kernel, n_edges=n_edges, n_leaves=n_leaves, states=S,
+        categories=C, block_sites=block_sites)
+    nm3 = lambda i, *_: (0, 0, i)
+    c0 = lambda i, *_: (0, 0)
+    c03 = lambda i, *_: (0, 0, 0)
+    op3 = pl.BlockSpec((n_edges, rows, S), c03, memory_space=pltpu.VMEM)
+    const = pl.BlockSpec((rows, S), c0, memory_space=pltpu.VMEM)
+    gl, gr, gec, grrT = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((n_leaves, 1, block_sites), nm3,
+                             memory_space=pltpu.VMEM),
+                op3, op3, op3, op3,
+                const, const,
+                pl.BlockSpec((rows, S + 1), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, 1), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_sites), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[op3, op3, const,
+                       pl.BlockSpec((rows, 1), c0,
+                                    memory_space=pltpu.VMEM)],
+            scratch_shapes=[
+                pltpu.VMEM((n_leaves + n_edges, rows, block_sites),
+                           jnp.float32),
+                pltpu.VMEM((n_edges, 1, block_sites), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((n_edges, rows, S), jnp.float32),
+            jax.ShapeDtypeStruct((n_edges, rows, S), jnp.float32),
+            jax.ShapeDtypeStruct((rows, S), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 23 * rows * n_pad * n_edges,
+            bytes_accessed=(n_leaves * 4 + 4) * n_pad,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_arr, *bwd_arrs, codes3, lcs3, rcs3, lcsT3, rcsT3, ec, ecT, ttab,
+      rrT, glik)
+    return gl, gr, gec, grrT
+
+
+def make_tree_diff(schedule: Sequence[Tuple], n_leaves: int, *,
+                   states: int = 4, categories: int = 4,
+                   block_sites: int = 1024, interpret: bool = False,
+                   vmem_budget: int = 10 * 2 ** 20):
+    """Differentiable fused whole-tree likelihood.
+
+    Args:
+      schedule: reordered schedule (reorder_schedule output) — entries
+        (parent, left, right, *_); operators are indexed by schedule
+        POSITION (pass lcs3[i] = operator of schedule entry i).
+      block_sites: site block width; the backward arena needs
+        ``(E + n_leaves) * rows * block_sites * 4`` bytes of VMEM —
+        shrink the block for big trees (``tree_bwd_vmem_bytes`` is the
+        check).
+
+    Returns ``f(codes3, lcs3, rcs3, ec, ttab, rr, n) -> (lik, sc)``:
+      codes3 (n_leaves, 1, n_pad) int32, lcs3/rcs3 (E, rows, S) fp32
+      lane-constant stacks, ec (rows, S), ttab (rows, S+1),
+      rr (1, rows), n valid sites.  ``lik``/``sc`` are (1, n_pad).
+      Differentiable in lcs3, rcs3, ec and rr; forward is the
+      register-machine tree kernel, backward the checkpointed arena
+      kernel above.
+    """
+    S, C = states, categories
+    rows = S * C
+    E = len(schedule)
+    need = tree_bwd_vmem_bytes(E, n_leaves, rows, block_sites)
+    if need > vmem_budget:
+        raise ValueError(
+            f"tree backward arena needs {need/2**20:.1f} MiB VMEM "
+            f"({E} edges x block {block_sites}); reduce block_sites")
+    # Forward register machine with eidx = schedule position, so the
+    # operator stacks are position-indexed on both passes.
+    pos_sched = tuple((p, l, r, 0.0, 0.0, i)
+                      for i, (p, l, r, *_) in enumerate(schedule))
+    fwd_arrs_np, n_slots, root_slot = compile_register_schedule(
+        pos_sched, n_leaves)
+    fwd_arrs = tuple(jnp.asarray(a) for a in fwd_arrs_np) + (
+        jnp.asarray([root_slot], jnp.int32),)
+    bwd_arrs = tuple(jnp.asarray(a) for a in
+                     compile_backward_schedule(pos_sched, n_leaves))
+
+    def fwd_call(codes3, lcs3, rcs3, ec, ttab, rr, n):
+        return _plf_tree_dynamic_call3(
+            fwd_arrs, codes3, lcs3, rcs3, ec, ttab, rr, n, n_edges=E,
+            n_leaves=n_leaves, n_slots=n_slots, states=S, categories=C,
+            block_sites=block_sites, interpret=interpret, variant="vpu")
+
+    @jax.custom_vjp
+    def f(codes3, lcs3, rcs3, ec, ttab, rr, n):
+        return fwd_call(codes3, lcs3, rcs3, ec, ttab, rr, n)
+
+    def fwd(codes3, lcs3, rcs3, ec, ttab, rr, n):
+        out = fwd_call(codes3, lcs3, rcs3, ec, ttab, rr, n)
+        return out, (codes3, lcs3, rcs3, ec, ttab, rr, n)
+
+    def bwd(res, cts):
+        glik, _ = cts   # int32 scaler stream has zero cotangent
+        codes3, lcs3, rcs3, ec, ttab, rr, n = res
+        tT = functools.partial(transpose_lane_constants,
+                               states=S, categories=C)
+        lcsT3 = jax.vmap(tT)(lcs3)
+        rcsT3 = jax.vmap(tT)(rcs3)
+        ecT = tT(ec)
+        rrT = jnp.transpose(rr)
+        gl, gr, gec, grrT = _tree_bwd_call(
+            bwd_arrs, codes3, lcs3, rcs3, lcsT3, rcsT3, ec, ecT, ttab,
+            rrT, glik, n, n_edges=E, n_leaves=n_leaves, states=S,
+            categories=C, block_sites=block_sites, interpret=interpret)
+        return (None, gl, gr, gec, jnp.zeros_like(ttab),
+                jnp.transpose(grrT), None)
+
+    f.defvjp(fwd, bwd)
+    return f

@@ -371,8 +371,8 @@ def compile_register_schedule(schedule: Sequence[Tuple], n_leaves: int):
     return arrs, n_slots, root_slot
 
 
-def _tree_kernel_dynamic(n_ref, lsrc_ref, lflag_ref, rsrc_ref, rflag_ref,
-                         oslot_ref, eidx_ref, rslot_ref, codes_ref,
+def _tree_kernel_dynamic(n_ref, lsrc_ref, rsrc_ref, oslot_ref, eidx_ref,
+                         rslot_ref, codes_ref,
                          lcs_ref, rcs_ref, ec_ref, ttab_ref, rr_ref,
                          lik_ref, sc_ref, arena_ref, *, n_edges, n_leaves,
                          states, categories, block_sites, variant):
@@ -383,23 +383,22 @@ def _tree_kernel_dynamic(n_ref, lsrc_ref, lflag_ref, rsrc_ref, rflag_ref,
     idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
     valid = idx < n_ref[0]
 
-    def fetch(src, flag):
-        def from_tip():
-            # codes ride a (n_leaves, 1, BS) ref: the dynamic index is on
-            # the leading (untiled) dim — Mosaic cannot index lanes or
-            # sublanes at runtime-unaligned offsets.
-            code_row = codes_ref[src]
-            return _expand_tip(code_row, ttab_ref, S)
+    # Tips expand ONCE into the arena's leading n_leaves slots so every
+    # schedule operand is a plain dynamic arena read — no lax.cond in
+    # the hot loop (each leaf is referenced exactly once in a binary
+    # tree, so the preload adds no work, only removes branches).  The
+    # dynamic index stays on the LEADING dim: Mosaic cannot index lanes
+    # or sublanes at runtime-unaligned offsets.
+    def preload(l, _):
+        arena_ref[l] = _expand_tip(codes_ref[l], ttab_ref, S)
+        return 0
 
-        def from_slot():
-            return arena_ref[src]
-
-        return jax.lax.cond(flag == 0, from_tip, from_slot)
+    jax.lax.fori_loop(0, n_leaves, preload, 0)
 
     def body(i, scaler):
         e = eidx_ref[i]
-        x1 = fetch(lsrc_ref[i], lflag_ref[i])
-        x2 = fetch(rsrc_ref[i], rflag_ref[i])
+        x1 = arena_ref[lsrc_ref[i]]
+        x2 = arena_ref[rsrc_ref[i]]
         # per-edge operators ride an (E, rows, W) ref for the same reason
         lcv = lcs_ref[e]
         rcv = rcs_ref[e]
@@ -438,8 +437,6 @@ def _plf_tree_dynamic_call(sched_arrs, codes, lcs, rcs, ec, ttab, rr, n, *,
     S, C = states, categories
     rows = S * C
     n_pad = codes.shape[-1]
-    grid = (n_pad // block_sites,)
-    n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
     W = rows if variant == "mxu" else S
 
     # Dynamic per-edge / per-leaf indexing must land on a LEADING dim
@@ -448,6 +445,41 @@ def _plf_tree_dynamic_call(sched_arrs, codes, lcs, rcs, ec, ttab, rr, n, *,
     lcs3 = jnp.transpose(lcs.reshape(rows, n_edges, W), (1, 0, 2))
     rcs3 = jnp.transpose(rcs.reshape(rows, n_edges, W), (1, 0, 2))
     codes3 = codes.reshape(codes.shape[0], 1, n_pad)
+    return _plf_tree_dynamic_call3(
+        sched_arrs, codes3, lcs3, rcs3, ec, ttab, rr, n, n_edges=n_edges,
+        n_leaves=n_leaves, n_slots=n_slots, states=states,
+        categories=categories, block_sites=block_sites,
+        interpret=interpret, variant=variant)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_edges", "n_leaves", "n_slots",
+                     "states", "categories", "block_sites", "interpret",
+                     "variant"))
+def _plf_tree_dynamic_call3(sched_arrs, codes3, lcs3, rcs3, ec, ttab, rr,
+                            n, *, n_edges, n_leaves, n_slots, states,
+                            categories, block_sites, interpret,
+                            variant="vpu"):
+    """Leading-dim-indexed form: operators pre-stacked ``(E, rows, W)``
+    and codes ``(L, 1, n_pad)`` (what the kernel consumes directly).
+    The differentiable tree path (ops/plf_tree_grad.py) builds these
+    stacks inside the autodiff graph and calls this entry."""
+    S, C = states, categories
+    rows = S * C
+    n_pad = codes3.shape[-1]
+    grid = (n_pad // block_sites,)
+    n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
+    W = rows if variant == "mxu" else S
+
+    # Unified arena addressing: slots [0, n_leaves) hold expanded tips,
+    # [n_leaves, n_leaves + n_slots) the register-machine slots — so
+    # operand fetches need no leaf/slot branch in the kernel.
+    lsrc, lflag, rsrc, rflag, oslot, eidx, rslot = sched_arrs
+    lsrc_u = lsrc + lflag * n_leaves
+    rsrc_u = rsrc + rflag * n_leaves
+    oslot_u = oslot + n_leaves
+    rslot_u = rslot + n_leaves
 
     kernel = functools.partial(
         _tree_kernel_dynamic, n_edges=n_edges, n_leaves=n_leaves,
@@ -459,7 +491,7 @@ def _plf_tree_dynamic_call(sched_arrs, codes, lcs, rcs, ec, ttab, rr, n, *,
     lik, sc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=8,
+            num_scalar_prefetch=6,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((n_leaves, 1, block_sites), nm3,
@@ -480,7 +512,8 @@ def _plf_tree_dynamic_call(sched_arrs, codes, lcs, rcs, ec, ttab, rr, n, *,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((n_slots, rows, block_sites), jnp.float32),
+                pltpu.VMEM((n_leaves + n_slots, rows, block_sites),
+                           jnp.float32),
             ],
         ),
         out_shape=[
@@ -493,7 +526,8 @@ def _plf_tree_dynamic_call(sched_arrs, codes, lcs, rcs, ec, ttab, rr, n, *,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n_arr, *sched_arrs, codes3, lcs3, rcs3, ec, ttab, rr)
+    )(n_arr, lsrc_u, rsrc_u, oslot_u, eidx, rslot_u,
+      codes3, lcs3, rcs3, ec, ttab, rr)
     return lik, sc
 
 
@@ -510,11 +544,12 @@ def plf_tree_pallas_dynamic(codes, schedule, lcs, rcs, ec, tip_table,
     stays small.
     """
     arrs, n_slots, root_slot = compile_register_schedule(schedule, n_leaves)
-    vmem = n_slots * states * categories * block_sites * 4
+    vmem = (n_leaves + n_slots) * states * categories * block_sites * 4
     if vmem > 10 * 2 ** 20:
         raise ValueError(
-            f"arena needs {vmem/2**20:.1f} MiB VMEM ({n_slots} slots x "
-            f"block {block_sites}); reduce block_sites")
+            f"arena needs {vmem/2**20:.1f} MiB VMEM ({n_leaves} tip + "
+            f"{n_slots} live slots x block {block_sites}); reduce "
+            f"block_sites")
     sched_arrs = tuple(jnp.asarray(a) for a in arrs) + (
         jnp.asarray([root_slot], jnp.int32),)
     return _plf_tree_dynamic_call(

@@ -67,6 +67,11 @@ SLOW_TESTS = (
     "test_sharding.py::test_sharded_protein",
     "test_support.py::test_alrt_on_ml_tree_is_nonnegative_and_supported",
     "test_support.py::test_annotate_alrt_labels",
+    "test_tree_grad.py::test_tree_grads_match_xla_underflow",
+    "test_tree_grad.py::test_tree_grads_match_pallas_pernode",
+    "test_tree_grad.py::test_tree_rates_and_weights_grads",
+    "test_tree_grad.py::test_tree_backend_with_gaps_and_weights",
+    "test_tree_grad.py::test_tree_backend_ascertainment",
     "test_tree_kernel.py::test_large_tree_uses_dynamic_kernel",
     "test_tree_kernel.py::test_fused_deep_tree_scalers",
     "test_tree_kernel.py::test_fused_protein",

@@ -169,3 +169,56 @@ def test_separate_encoder_reproduces_reference_stream_fixtures():
             lanes["right_branch"][lane],
             fixtures.load_beats(f"{sdir}/inputbranchright{lane}.txt"),
             atol=5e-7)
+
+def test_window1in_roundtrip_and_structure():
+    from plf_tpu.io.streams import (decode_window1in_lanes,
+                                    encode_window1in_lanes)
+
+    rng = np.random.default_rng(53)
+    x1, x2, left, right, ev, _ = make_random_case(rng, 70)
+    lanes = encode_window1in_lanes(ev, left, right, x1, x2)
+    # legacy hybrid: NO EV on the data streams (4 header beats, not 6)
+    assert lanes["left"][0].shape[0] == 2 * (4 + 64)
+    # full EV rides sEV, 4 beats per window, left mover only
+    assert lanes["left_ev"][0].shape == (2 * 4, 4)
+    assert "right_ev" not in lanes
+    np.testing.assert_array_equal(lanes["left_ev"][0][:4], ev.reshape(4, 4))
+    ev2, l2, r2, x1b, x2b = decode_window1in_lanes(lanes, n_sites=70)
+    np.testing.assert_array_equal(ev2, ev.reshape(4, 4))
+    np.testing.assert_array_equal(l2, np.asarray(left, np.float32).reshape(4, 4, 4))
+    np.testing.assert_array_equal(r2, np.asarray(right, np.float32).reshape(4, 4, 4))
+    np.testing.assert_array_equal(x1b, np.asarray(x1, np.float32).reshape(-1, 4, 4))
+    # last-window zero fill (mm2sleft_uint128x4window1in.cpp:85-92)
+    _, _, _, full1, _ = decode_window1in_lanes(lanes)
+    assert np.all(full1[70:] == 0)
+
+
+def test_window1in_data_beats_match_separate_layout():
+    # the legacy movers split site records lane-per-category exactly like
+    # the modern SEPARATE data streams -> byte-identical data sections
+    from plf_tpu.io.streams import encode_window1in_lanes
+
+    rng = np.random.default_rng(54)
+    x1, x2, left, right, ev, _ = make_random_case(rng, 64)
+    legacy = encode_window1in_lanes(ev, left, right, x1, x2)
+    modern = encode_window_lanes(ev, left, right, x1, x2,
+                                 layout="separate")
+    for lane in range(4):
+        np.testing.assert_array_equal(legacy["left"][lane][4:],
+                                      modern["left"][lane])
+        np.testing.assert_array_equal(legacy["right"][lane][4:],
+                                      modern["right"][lane])
+
+
+def test_output_lanes_s2mm_roundtrip():
+    from plf_tpu.io.streams import decode_output_lanes, encode_output_lanes
+
+    rng = np.random.default_rng(55)
+    x3 = rng.random((70, 4, 4)).astype(np.float32)
+    streams = encode_output_lanes(x3)
+    # one beat per padded site on each of the 4 streams
+    assert all(s.shape == (128, 4) for s in streams)
+    back = decode_output_lanes(streams, n_sites=70)
+    np.testing.assert_array_equal(back, x3)
+    # padding beats exist on the wire but are dropped by the s2mm
+    assert np.all(streams[0][70:] == 0)
