@@ -59,7 +59,7 @@ for n_sites in (20_000, 262_144, 1_048_576):
 
         dt_f = slope(fwd_chain, t0j)
         dt_vg = slope(vjp_chain, t0j)
-        e = 2 * n_taxa - 2
+        e = len(pm.schedule)
         print(f"n={n_sites:>8} {backend:>6}: fwd {dt_f*1e3:8.3f} ms "
               f"({e*n_sites/dt_f/1e9:6.2f} G node-sites/s)   "
               f"vjp {dt_vg*1e3:8.3f} ms "

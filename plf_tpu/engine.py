@@ -137,7 +137,8 @@ class PLFEngine:
                                 states=S, categories=C,
                                 block_sites=cfg.block_sites,
                                 interpret=cfg.interpret,
-                                variant=cfg.resolved_kernel_variant)
+                                variant=cfg.resolved_kernel_variant,
+                                dtype=cfg.dtype)
         return PLFResult(x3, sv, si)
 
     # -- multi-instance (the 9-accelerator analogue) -------------------------

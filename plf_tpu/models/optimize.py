@@ -341,18 +341,22 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
     sched_r = reorder_schedule(pm.schedule, n_leaves)
     pairs = [(l, r) for (_, l, r, *_rest) in sched_r]
 
-    codes_np = np.asarray(pm._codes)
+    # Tip codes stay wherever they live (device arrays are NOT fetched to
+    # host — at 1e8 sites that round-trip is GBs through the host link);
+    # any repad happens with jnp ops.
+    codes_dev = jnp.asarray(pm._codes)
     if mesh is not None:
         # site axis sharded: repad so every shard is a block multiple
         ndev = mesh.shape["sites"]
         unit = ndev * bs
         n_pad = max(unit, -(-n // unit) * unit)
-        if codes_np.shape[-1] < n_pad:
-            codes_np = np.concatenate(
-                [codes_np, np.full((n_leaves, n_pad - codes_np.shape[-1]),
-                                   S, np.int32)], axis=-1)
-        codes_np = codes_np[:, :n_pad]
         shard = n_pad // ndev
+    if codes_dev.shape[-1] < n_pad:
+        codes_dev = jnp.concatenate(
+            [codes_dev,
+             jnp.full((n_leaves, n_pad - codes_dev.shape[-1]), S,
+                      jnp.int32)], axis=-1)
+    codes_dev = codes_dev[:, :n_pad]
 
     u = jnp.asarray(model.u, jnp.float32)
     lam = jnp.asarray(model.eigenvalues, jnp.float32)
@@ -360,13 +364,20 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
     pi_u = jnp.asarray(model.root_vector, jnp.float32)
     cw = jnp.asarray(pm.rate_weights, jnp.float32)
     ec = jnp.asarray(L.ev_to_lane_constants(model.plf_ev, S, C))
-    wpad = jnp.asarray(np.concatenate(
-        [pm.wgt.astype(np.float32), np.zeros(n_pad - n, np.float32)]))
+    # Site weights ride as a jit ARGUMENT (O(sites) closure constants
+    # embed in the HLO and blow the remote compiler's request limit);
+    # the ubiquitous all-ones case is built on device.
+    if np.all(pm.wgt == 1):
+        wpad = (jnp.arange(n_pad, dtype=jnp.int32)
+                < jnp.int32(n)).astype(jnp.float32)
+    else:
+        wpad = jnp.asarray(np.concatenate(
+            [pm.wgt.astype(np.float32), np.zeros(n_pad - n, np.float32)]))
     wg_tbl = np.concatenate(
         [model.w, model.w.sum(axis=1, keepdims=True)],
         axis=1).astype(np.float32)
     ttab_rep = jnp.asarray(np.repeat(wg_tbl, C, axis=0))   # (rows, S+1)
-    codes3 = codes_np.reshape(n_leaves, 1, n_pad)
+    codes3 = codes_dev.reshape(n_leaves, 1, n_pad)
 
     tdiff_local = make_tree_diff(sched_r, n_leaves, states=S, categories=C,
                                  block_sites=bs, interpret=interpret)
@@ -403,7 +414,7 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
     w_total = float(np.sum(pm.wgt))
     n_dev = jnp.int32(n)
 
-    def loglik_rates(t_vec, r_vec, w_vec, codes3):
+    def loglik_rates(t_vec, r_vec, w_vec, codes3, wpad):
         # per-edge operator stacks, position-indexed on the reordered
         # schedule (vmap over the gathered child branch lengths)
         t_l = jnp.stack([t_vec[l] for l, _ in pairs])
@@ -427,10 +438,11 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
     jfn = jax.jit(loglik_rates)
     if with_weights:
         return (lambda t_vec, r_vec, w_vec:
-                jfn(t_vec, r_vec, w_vec, codes3)), t0
+                jfn(t_vec, r_vec, w_vec, codes3, wpad)), t0
     if with_rates:
-        return (lambda t_vec, r_vec: jfn(t_vec, r_vec, cw, codes3)), t0
-    return (lambda t_vec: jfn(t_vec, rates, cw, codes3)), t0
+        return (lambda t_vec, r_vec:
+                jfn(t_vec, r_vec, cw, codes3, wpad)), t0
+    return (lambda t_vec: jfn(t_vec, rates, cw, codes3, wpad)), t0
 
 
 def optimize_branch_lengths(pm: PhyloModel, steps: int = 100,

@@ -179,3 +179,29 @@ def test_cli_gen_probe():
     from plf_tpu.__main__ import main
     rc = main(["--gen", "--sites", "256", "--calls", "1", "--block", "128"])
     assert rc == 0
+
+
+def test_engine_bfloat16_fast_mode():
+    # cfg.dtype="bfloat16" runs the CLV stream in bf16 (fast mode): the
+    # output is bf16 and tracks the fp32 golden within bf16 precision
+    import jax.numpy as jnp
+
+    from plf_tpu import PLFConfig, PLFEngine
+    from plf_tpu.reference import plf_reference
+
+    rng = np.random.default_rng(11)
+    n = 512
+    x1 = rng.random((n, 16), np.float32)
+    x2 = rng.random((n, 16), np.float32)
+    left = rng.random((4, 4, 4), np.float32)
+    right = rng.random((4, 4, 4), np.float32)
+    ev = rng.random((4, 4), np.float32)
+    eng = PLFEngine(PLFConfig(dtype="bfloat16", block_sites=128,
+                              interpret=True))
+    out = eng.plf(x1, x2, left, right, ev)
+    assert out.x3.dtype == jnp.bfloat16
+    g3, _, gsi = plf_reference(x1, x2, left, right, ev,
+                               np.ones(n, np.int32))
+    got = np.asarray(out.x3, np.float32).reshape(g3.shape)
+    np.testing.assert_allclose(got, g3, rtol=3e-2, atol=1e-3)
+    assert int(out.scaler_increment) == int(gsi)
