@@ -448,18 +448,20 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
 def optimize_branch_lengths(pm: PhyloModel, steps: int = 100,
                             learning_rate: float = 0.02,
                             min_length: float = 1e-6,
-                            backend: str = "auto"
+                            backend: str = "auto", mesh=None
                             ) -> Tuple[np.ndarray, float, float]:
     """Maximise the tree likelihood over all branch lengths on device.
 
     Optimises in log-space (lengths stay positive) with optax adam.
     On TPU the likelihood and its gradient run the fused Pallas kernels
-    (backend="auto" -> "pallas"; see tree_loglik_fn).
+    (backend="auto" -> "pallas"; see tree_loglik_fn).  With ``mesh`` the
+    forward/backward kernels run site-sharded over the device mesh
+    (implies backend="tree").
     Returns (optimised_lengths, ll_before, ll_after).
     """
     import optax
 
-    fn, t0 = tree_loglik_fn(pm, backend=backend)
+    fn, t0 = tree_loglik_fn(pm, backend=backend, mesh=mesh)
     ll0 = float(fn(jnp.asarray(t0)))
 
     def loss(log_t):
@@ -469,11 +471,18 @@ def optimize_branch_lengths(pm: PhyloModel, steps: int = 100,
     log_t = jnp.log(jnp.maximum(jnp.asarray(t0), min_length))
     state = opt.init(log_t)
 
-    @jax.jit
     def step(log_t, state):
         val, g = jax.value_and_grad(loss)(log_t)
         updates, state = opt.update(g, state)
         return optax.apply_updates(log_t, updates), state, val
+
+    # Re-jitting `fn` captures its device tip codes as a lowering
+    # CONSTANT of the step program — fine at test sizes, but O(sites)
+    # constants hang the remote compiler on big alignments (the inner
+    # likelihood fn is already jitted with codes as an argument, so the
+    # un-jitted step only adds eager optax math on ~E scalars per step).
+    if pm.n_pad * pm.config.rows * 4 <= (1 << 28):
+        step = jax.jit(step)
 
     for _ in range(steps):
         log_t, state, val = step(log_t, state)

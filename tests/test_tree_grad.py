@@ -141,3 +141,14 @@ def test_tree_backend_sharded_grads_match():
     assert float(v_m) == pytest.approx(float(v_s), rel=1e-6)
     np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_s),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_optimize_branch_lengths_sharded():
+    from plf_tpu.models.optimize import optimize_branch_lengths
+    from plf_tpu.parallel.sharding import make_mesh
+
+    pm = _make_pm(n_leaves=6, n=256, block=128, seed=7)
+    t_opt, ll0, ll1 = optimize_branch_lengths(
+        pm, steps=20, mesh=make_mesh(4))
+    assert ll1 > ll0
+    assert np.all(t_opt > 0)
