@@ -59,7 +59,8 @@ def infer_main(argv):
                     help="FASTA or PHYLIP file (DNA, or protein for "
                          "--model lg/wag)")
     ap.add_argument("--model", default="jc",
-                    choices=["jc", "hky", "gtr", "lg", "wag"])
+                    choices=["jc", "hky", "gtr", "lg", "wag", "jtt",
+                             "dayhoff", "mtrev", "cprev"])
     ap.add_argument("--kappa", type=float, default=2.0,
                     help="HKY transition/transversion ratio")
     ap.add_argument("--alpha", type=float, default=None,
@@ -78,12 +79,14 @@ def infer_main(argv):
 
     with open(args.alignment) as f:
         text = f.read()
-    protein = args.model in ("lg", "wag")
+    from .models.substitution import BUILTIN_PROTEIN_MODELS
+    protein = args.model in BUILTIN_PROTEIN_MODELS
     aln = _parse_alignment(text, protein=protein)
-    model = {"jc": jc69, "hky": lambda: hky85(args.kappa),
-             "gtr": jc69,
-             "lg": lambda: empirical_protein("lg"),
-             "wag": lambda: empirical_protein("wag")}[args.model]()
+    if protein:
+        model = empirical_protein(args.model)
+    else:
+        model = {"jc": jc69, "hky": lambda: hky85(args.kappa),
+                 "gtr": jc69}[args.model]()
     fit = args.fit if args.model != "gtr" else args.fit + "+model"
     res = run_inference(aln.codes, names=aln.names, model=model,
                         alpha=args.alpha, p_inv=args.pinv,

@@ -76,11 +76,16 @@ class PLFConfig:
     interpret: bool = False    # Pallas interpreter mode (the sw_emu analogue)
     dtype: str = "float32"     # "float32" (exact) or "bfloat16" (fast mode)
     kernel_variant: str = "vpu"  # "vpu" (bit-exact elementwise), "mxu"
-                                 # (block-matmul on the systolic array), or
-                                 # "auto" (vpu for small state counts, mxu
-                                 # where the (S*C, S*C) operators are big
-                                 # enough to win — measured 1.5x for
-                                 # protein S=20 on v5e, <=4 ULP)
+                                 # (block-matmul on the systolic array,
+                                 # full-fp32 6-pass), "mxu_3x" (bf16x3
+                                 # MXU passes, ~fp32-grade), "mxu_bf16"
+                                 # (1-pass bf16 operands + fp32 accum —
+                                 # fastest for the compute-bound S>=20
+                                 # shapes), or "auto" (vpu for small
+                                 # state counts, mxu where the
+                                 # (S*C, S*C) operators are big enough
+                                 # to win — measured 1.5x for protein
+                                 # S=20 on v5e, <=4 ULP)
 
     def __post_init__(self):
         if self.states < 2:
@@ -93,7 +98,8 @@ class PLFConfig:
                 f"width), got {self.block_sites}")
         if self.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported dtype {self.dtype!r}")
-        if self.kernel_variant not in ("vpu", "mxu", "auto"):
+        if self.kernel_variant not in ("vpu", "mxu", "mxu_3x", "mxu_bf16",
+                                       "auto"):
             raise ValueError(
                 f"unsupported kernel_variant {self.kernel_variant!r}")
 

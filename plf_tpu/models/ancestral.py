@@ -70,14 +70,20 @@ def ancestral_marginal(pm: PhyloModel) -> Dict[int, np.ndarray]:
     root = pm.tree.root
     pmats = _p_matrices(pm)
 
-    # one-hot tips in state space, (n, C, S); gaps = all-ones
+    # one-/multi-hot tips in state space, (n, C, S); IUPAC partial
+    # ambiguity -> member states, gaps = all-ones
+    from ..io.alignment import AMBIGUITY
+    amb = AMBIGUITY.get(S, ())
     tips = {}
     for leaf in range(n_leaves):
         si = pm.tip_states[leaf]
         onehot = np.zeros((n, S), np.float32)
         valid = (si >= 0) & (si < S)
         onehot[np.arange(n)[valid], si[valid]] = 1.0
-        onehot[~valid] = 1.0
+        for k, members in enumerate(amb):
+            for m in members:
+                onehot[si == S + k, m] = 1.0
+        onehot[(si < 0) | (si >= S + len(amb))] = 1.0
         tips[leaf] = jnp.asarray(
             np.repeat(onehot[:, None, :], C, axis=1))
 

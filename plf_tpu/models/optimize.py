@@ -84,14 +84,27 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False,
             backend = "tree"
         elif jax.default_backend() == "tpu":
             resid = 3 * len(pm.schedule) * pm.config.rows * pm.n_pad * 4
-            backend = ("tree" if resid > _PERNODE_RESIDUAL_BUDGET
-                       and _tree_backend_block(pm) else "pallas")
+            if resid <= _PERNODE_RESIDUAL_BUDGET:
+                backend = "pallas"
+            elif _tree_backend_block(pm):
+                backend = "tree"
+            else:
+                # Neither the per-node VJP (HBM residuals too big) nor
+                # the single-segment tree backward (VMEM arena too big)
+                # fits: the segmented checkpointed VJP is the gradient
+                # path that scales to big-taxa x big-sites.
+                backend = "segmented"
         else:
             backend = "xla"
-    if mesh is not None and backend != "tree":
+    if mesh is not None and backend not in ("tree", "segmented"):
         raise ValueError(
-            "mesh-sharded gradients require backend='tree' (the "
-            "checkpointed whole-tree VJP is the shard-local kernel)")
+            "mesh-sharded gradients require backend='tree' or "
+            "'segmented' (the checkpointed whole-tree VJP is the "
+            "shard-local kernel)")
+    if backend == "segmented":
+        return _tree_loglik_fn_tree(pm, with_rates=with_rates,
+                                    with_weights=with_weights, mesh=mesh,
+                                    segmented=True)
     if backend == "tree":
         return _tree_loglik_fn_tree(pm, with_rates=with_rates,
                                     with_weights=with_weights, mesh=mesh)
@@ -117,17 +130,16 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False,
     # CLVs inside the compiled graph — closing over materialised tip
     # CLVs would embed O(n_leaves * n * C * S) literal constants in the
     # lowered module (observed: 16 leaves x 1M sites = a >1 GB HLO).
-    codes_dev = jnp.asarray(np.where(
-        (pm.tip_states >= 0) & (pm.tip_states < S),
-        pm.tip_states, S).astype(np.int32))          # (n_leaves, n)
-    wg_tbl = jnp.asarray(np.concatenate(
-        [model.w, model.w.sum(axis=1, keepdims=True)],
-        axis=1).astype(np.float32))                  # (S, S+1)
+    from ..io.alignment import map_tip_codes, tip_expansion_table
+    codes_dev = jnp.asarray(map_tip_codes(pm.tip_states, S))  # (n_leaves, n)
+    wg_tbl = jnp.asarray(tip_expansion_table(model.w, S)
+                         .astype(np.float32))        # (S, S+1+A)
+    n_codes = wg_tbl.shape[1]
 
     def expand_tip(codes_row):
         onehot = (codes_row[None, :] ==
-                  jnp.arange(S + 1, dtype=jnp.int32)[:, None]
-                  ).astype(jnp.float32)              # (S+1, n)
+                  jnp.arange(n_codes, dtype=jnp.int32)[:, None]
+                  ).astype(jnp.float32)              # (ncode, n)
         x = jnp.matmul(wg_tbl, onehot,
                        precision=jax.lax.Precision.HIGHEST)  # (S, n)
         return jnp.repeat(x.T[:, None, :], C, axis=1)        # (n, C, S)
@@ -215,15 +227,14 @@ def _tree_loglik_fn_pallas(pm: PhyloModel, with_rates: bool = False,
     # (each leaf of a binary tree is consumed exactly once).  The
     # C-fold row replication happens on the (S, S+1) TABLE, not on the
     # (rows, n_pad) array, so expansion is a single memory pass.
-    wg_tbl = np.concatenate(
-        [model.w, model.w.sum(axis=1, keepdims=True)],
-        axis=1).astype(np.float32)                   # (S, S+1)
-    ttab_rep = jnp.asarray(np.repeat(wg_tbl, C, axis=0))  # (rows, S+1)
+    from ..io.alignment import tip_expansion_table
+    wg_tbl = tip_expansion_table(model.w, S).astype(np.float32)
+    ttab_rep = jnp.asarray(np.repeat(wg_tbl, C, axis=0))  # (rows, ncode)
     codes_dev = pm._codes                            # (n_leaves, n_pad)
 
     def expand_tip(codes_row):
         onehot = (codes_row[None, :] ==
-                  jnp.arange(S + 1, dtype=jnp.int32)[:, None]
+                  jnp.arange(wg_tbl.shape[1], dtype=jnp.int32)[:, None]
                   ).astype(jnp.float32)
         return jnp.matmul(ttab_rep, onehot,
                           precision=jax.lax.Precision.HIGHEST)
@@ -299,17 +310,21 @@ def _tree_backend_block(pm: PhyloModel,
 
     cfg = pm.config
     E = len(pm.schedule)
-    bs = cfg.block_sites
-    while bs >= 128:
+    # Only 128-multiple divisors of the configured block are valid: the
+    # PLFConfig lane constraint must hold AND the block must divide
+    # n_pad (which is a multiple of cfg.block_sites).
+    for bs in range(cfg.block_sites, 127, -128):
+        if cfg.block_sites % bs:
+            continue
         if (tree_bwd_vmem_bytes(E, pm.tree.n_leaves, cfg.rows, bs)
                 <= vmem_budget and pm.n_pad % bs == 0):
             return bs
-        bs //= 2
     return None
 
 
 def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
-                         with_weights: bool = False, mesh=None):
+                         with_weights: bool = False, mesh=None,
+                         segmented: bool = False):
     """Whole-tree fused backend of :func:`tree_loglik_fn`: ONE kernel
     dispatch forward and ONE backward per evaluation, with the backward
     recomputing CLVs in a VMEM arena (ops/plf_tree_grad.py).  Branch
@@ -333,11 +348,15 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
     n_leaves = pm.tree.n_leaves
     n, n_pad = pm.n_sites, pm.n_pad
     interpret = cfg.interpret or (jax.default_backend() != "tpu")
-    bs = _tree_backend_block(pm)
-    if bs is None:
-        raise ValueError(
-            f"tree too large for the checkpointed backward "
-            f"({len(pm.schedule)} edges); use backend='pallas'")
+    if segmented:
+        bs = cfg.block_sites     # plan_segments auto-shrinks internally
+    else:
+        bs = _tree_backend_block(pm)
+        if bs is None:
+            raise ValueError(
+                f"tree too large for the single-segment checkpointed "
+                f"backward ({len(pm.schedule)} edges); use "
+                f"backend='segmented'")
     sched_r = reorder_schedule(pm.schedule, n_leaves)
     pairs = [(l, r) for (_, l, r, *_rest) in sched_r]
 
@@ -373,14 +392,20 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
     else:
         wpad = jnp.asarray(np.concatenate(
             [pm.wgt.astype(np.float32), np.zeros(n_pad - n, np.float32)]))
-    wg_tbl = np.concatenate(
-        [model.w, model.w.sum(axis=1, keepdims=True)],
-        axis=1).astype(np.float32)
-    ttab_rep = jnp.asarray(np.repeat(wg_tbl, C, axis=0))   # (rows, S+1)
+    from ..io.alignment import tip_expansion_table
+    wg_tbl = tip_expansion_table(model.w, S).astype(np.float32)
+    ttab_rep = jnp.asarray(np.repeat(wg_tbl, C, axis=0))   # (rows, ncode)
     codes3 = codes_dev.reshape(n_leaves, 1, n_pad)
 
-    tdiff_local = make_tree_diff(sched_r, n_leaves, states=S, categories=C,
-                                 block_sites=bs, interpret=interpret)
+    if segmented:
+        from ..ops.plf_tree_seg import make_tree_diff_segmented
+        tdiff_local = make_tree_diff_segmented(
+            sched_r, n_leaves, states=S, categories=C, block_sites=bs,
+            interpret=interpret)
+    else:
+        tdiff_local = make_tree_diff(sched_r, n_leaves, states=S,
+                                     categories=C, block_sites=bs,
+                                     interpret=interpret)
     if mesh is None:
         tdiff = tdiff_local
     else:
@@ -648,10 +673,8 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
     n_leaves = pm.tree.n_leaves
     rates_gamma = jnp.asarray(pm.rates, jnp.float32)
     wgt = jnp.asarray(pm.wgt, jnp.float32)
-    codes = np.where(
-        (pm.tip_states >= 0) & (pm.tip_states < S), pm.tip_states,
-        S).astype(np.int32)
-    codes_dev = jnp.asarray(codes)
+    from ..io.alignment import map_tip_codes, tip_expansion_table
+    codes_dev = jnp.asarray(map_tip_codes(pm.tip_states, S))
 
     # Initial parameters from the current model: recover the
     # exchangeabilities from Q = U diag(lam) W via qsym[i,j] = q[i,j]/pi[j].
@@ -682,12 +705,11 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
             t_vec = jax.lax.stop_gradient(t_vec)
         ev_arr = w.T                               # EVarr[k, a] = W[l? see
         # substitution.SubstitutionModel.plf_ev: EVarr = w.T
-        wg = jnp.concatenate([w, jnp.sum(w, axis=1, keepdims=True)],
-                             axis=1)               # tip table (S, S+1)
+        wg = tip_expansion_table(w, S)             # tip table (S, S+1+A)
 
         def tip_clv(leaf):
             onehot = (codes[leaf][None, :] ==
-                      jnp.arange(S + 1)[:, None]).astype(jnp.float32)
+                      jnp.arange(wg.shape[1])[:, None]).astype(jnp.float32)
             x = jnp.matmul(wg, onehot,
                            precision=jax.lax.Precision.HIGHEST)
             return jnp.repeat(x[None, :, :], C, axis=0).transpose(2, 0, 1)

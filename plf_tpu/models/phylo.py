@@ -154,7 +154,8 @@ class PhyloModel:
         # --- device constants, all shipped once -----------------------------
         # Variant-specific operator encodings (vpu: per-source-state lane
         # columns; mxu: (rows, rows) block matrices).
-        if cfg.resolved_kernel_variant == "mxu" and cfg.backend is not Backend.XLA:
+        if (cfg.resolved_kernel_variant.startswith("mxu")
+                and cfg.backend is not Backend.XLA):
             enc_branch = lambda b: L.branch_to_block_matrix(b, S, C)
             self._ec = jnp.asarray(L.ev_to_block_matrix(model.plf_ev, S, C))
         else:
@@ -169,22 +170,23 @@ class PhyloModel:
                 branch_matrices(model, tr, self.rates, C)))
         self._lcs = jnp.asarray(np.stack(lcs))   # (E, rows, S|rows)
         self._rcs = jnp.asarray(np.stack(rcs))
-        # Tip expansion table: row s of tip_table is the eigen-coordinate
-        # CLV of observed state s; last row = gap (all-ones likelihood).
-        # Column b (b < S) is W.e_b = w[:, b]; extra column S is the gap
-        # CLV W.1 (all states equally likely).
-        tbl = np.concatenate([model.w, model.w.sum(axis=1, keepdims=True)],
-                             axis=1)             # (S, S+1)
+        # Tip expansion table: column b (b < S) is the eigen-coordinate
+        # CLV of observed state b (W.e_b = w[:, b]); column S the gap CLV
+        # W.1 (all states equally likely); columns S+1.. the multi-hot
+        # IUPAC partial-ambiguity CLVs (R -> W.(e_A + e_G) etc. — the
+        # RAxML tip-vector semantics, /root/reference/app/src/plf.cpp:21-22
+        # consumes arbitrary tip CLVs).
+        from ..io.alignment import map_tip_codes, tip_expansion_table
+        tbl = tip_expansion_table(model.w, S)    # (S, S+1+A)
         self._tip_table = jnp.asarray(tbl.astype(np.float32))
+        self._n_codes = tbl.shape[1]
         # Root reduction over lane-major rows (row = a*C + c): pi^T U
         # weighted by the category mixture (uniform 1/C unless +I or
         # explicit rate_weights).
         rows = np.repeat(model.root_vector, C) * np.tile(self.rate_weights, S)
         self._root_rows = jnp.asarray(rows.astype(np.float32)).reshape(1, -1)
         # Tip codes, padded; padding sites get the gap code (harmless).
-        codes = np.where(
-            (self.tip_states >= 0) & (self.tip_states < S),
-            self.tip_states, S).astype(np.int32)
+        codes = map_tip_codes(self.tip_states, S)
         codes = L.pad_to_multiple(codes, self.n_pad, axis=-1)
         codes[:, self.n_sites:] = S
         self._codes = jnp.asarray(codes)          # (n_leaves, n_pad)
@@ -193,6 +195,7 @@ class PhyloModel:
         self._wgt_dev = jnp.asarray(wpad[0])      # (n_pad,) zeros on padding
         self._traverse = None
         self._fused_cache = None
+        self._seg_cache = None
 
     # -- the single-dispatch traversal --------------------------------------
 
@@ -206,10 +209,12 @@ class PhyloModel:
         use_pallas = cfg.backend is not Backend.XLA
         interpret = cfg.interpret or (jax.default_backend() != "tpu")
 
+        n_codes = self._n_codes
+
         def expand_tip(codes_row, tip_table):
             onehot = (codes_row[None, :] ==
-                      jnp.arange(S + 1, dtype=jnp.int32)[:, None]
-                      ).astype(jnp.float32)                     # (S+1, n_pad)
+                      jnp.arange(n_codes, dtype=jnp.int32)[:, None]
+                      ).astype(jnp.float32)                   # (ncode, n_pad)
             # HIGHEST precision: TPU default matmul rounds through
             # bf16; eigen-coordinate CLVs are mixed-sign, and the
             # cancellation error can push small site likelihoods
@@ -311,9 +316,20 @@ class PhyloModel:
         if cfg.backend is Backend.XLA:
             return False
         sched = reorder_schedule(self.schedule, self.tree.n_leaves)
-        depth = schedule_depth(sched, self.tree.n_leaves)
-        vmem = (depth + 2) * cfg.rows * cfg.block_sites * 4
-        return depth <= self.FUSED_MAX_LIVE and vmem < 8 * 2 ** 20
+        if len(sched) <= self.FUSED_UNROLL_MAX_NODES:
+            # static unrolled kernel: live stack = schedule depth
+            depth = schedule_depth(sched, self.tree.n_leaves)
+            vmem = (depth + 2) * cfg.rows * cfg.block_sites * 4
+            return depth <= self.FUSED_MAX_LIVE and vmem < 8 * 2 ** 20
+        # dynamic register-machine kernel: the unified arena preloads
+        # every tip, (n_leaves + n_slots) slots — fusible iff some
+        # 128-multiple block fits the VMEM budget (the kernel
+        # auto-shrinks to it).
+        from ..ops.plf_tree_pallas import (compile_register_schedule,
+                                          fit_block_sites)
+        _, n_slots, _ = compile_register_schedule(sched, self.tree.n_leaves)
+        return fit_block_sites(self.tree.n_leaves + n_slots, cfg.rows,
+                               cfg.block_sites) is not None
 
     def _fused_inputs(self):
         if self._fused_cache is not None:
@@ -327,9 +343,10 @@ class PhyloModel:
                               axis=1)
         rcs = jnp.concatenate([self._rcs[e] for e in range(len(self.schedule))],
                               axis=1)
-        # Tip table per lane-major row: ttab[(a,c), s] = w[a, s] (+gap col).
-        w = self.model.w
-        wg = np.concatenate([w, w.sum(axis=1, keepdims=True)], axis=1)
+        # Tip table per lane-major row: ttab[(a,c), col] = tbl[a, col]
+        # (state + gap + IUPAC partial-ambiguity columns).
+        from ..io.alignment import tip_expansion_table
+        wg = tip_expansion_table(self.model.w, S)
         ttab = jnp.asarray(np.repeat(wg, C, axis=0).astype(np.float32))
         self._fused_cache = (sched, lcs, rcs, ttab)
         return self._fused_cache
@@ -367,6 +384,53 @@ class PhyloModel:
         return self._finalise_ll(np.asarray(lik)[0], np.asarray(sc)[0],
                                  scaler_total)
 
+    # -- segmented whole-tree evaluation (big-taxa trees) --------------------
+
+    def can_segment(self) -> bool:
+        """Whether the segmented kernel path applies (Pallas, VPU form)."""
+        cfg = self.config
+        return (cfg.backend is not Backend.XLA
+                and cfg.resolved_kernel_variant == "vpu")
+
+    def _segmented_inputs(self):
+        if self._seg_cache is not None:
+            return self._seg_cache
+        from ..ops.plf_tree_seg import plan_segments
+
+        cfg = self.config
+        n_leaves = self.tree.n_leaves
+        sched_r = reorder_schedule(self.schedule, n_leaves)
+        eidx = jnp.asarray([e for (*_x, e) in sched_r])
+        lcs3 = jnp.take(self._lcs, eidx, axis=0)     # (E, rows, S)
+        rcs3 = jnp.take(self._rcs, eidx, axis=0)
+        pos_sched = tuple((p, l, r, 0.0, 0.0, i)
+                          for i, (p, l, r, *_x) in enumerate(sched_r))
+        plan = plan_segments(pos_sched, n_leaves, rows=cfg.rows,
+                             block_sites=cfg.block_sites)
+        _, _, _, ttab = self._fused_inputs()
+        codes3 = self._codes.reshape(self._codes.shape[0], 1, -1)
+        self._seg_cache = (plan, codes3, lcs3, rcs3, ttab)
+        return self._seg_cache
+
+    def log_likelihood_segmented(self) -> TreeLikelihoodResult:
+        """Segmented whole-tree evaluation: O(#segments) dispatches for
+        trees beyond the single-arena VMEM budget (ops/plf_tree_seg.py).
+        Bit-exact vs the fused and per-node paths."""
+        from ..ops.plf_tree_seg import plf_tree_segmented
+
+        cfg = self.config
+        if not self.can_segment():
+            raise ValueError("segmented path needs the Pallas VPU form")
+        interpret = cfg.interpret or (jax.default_backend() != "tpu")
+        plan, codes3, lcs3, rcs3, ttab = self._segmented_inputs()
+        lik, sc = plf_tree_segmented(
+            plan, codes3, lcs3, rcs3, self._ec, ttab, self._root_rows,
+            self.n_sites, states=cfg.states, categories=cfg.categories,
+            interpret=interpret)
+        scaler_total = int(np.asarray(jnp.sum(sc[0] * self._wgt_dev)))
+        return self._finalise_ll(np.asarray(lik)[0], np.asarray(sc)[0],
+                                 scaler_total)
+
     # -- evaluation ----------------------------------------------------------
 
     def log_likelihood(self, keep_root_clv: bool = False,
@@ -374,13 +438,17 @@ class PhyloModel:
         """Evaluate the tree log-likelihood.
 
         ``method``: "auto" uses the fused whole-tree kernel when the tree
-        fits the VMEM live-stack budget (and the per-node path otherwise),
-        "fused" forces the fused kernel, "per-node" forces the node-by-node
-        traversal (needed when the root CLV must be kept).
+        fits the VMEM arena budget, the segmented kernel for larger trees,
+        and the per-node path otherwise; "fused"/"segmented"/"per-node"
+        force a path ("per-node" is needed when the root CLV must be
+        kept).
         """
         if method == "fused" or (method == "auto" and not keep_root_clv
                                  and self.can_fuse()):
             return self.log_likelihood_fused()
+        if method == "segmented" or (method == "auto" and not keep_root_clv
+                                     and self.can_segment()):
+            return self.log_likelihood_segmented()
         if self._traverse is None:
             self._traverse = self._build_traverse()
         lik, scaler_sites, scaler_total, x_root = self._traverse(
@@ -475,12 +543,19 @@ class PhyloModel:
         S, C = m.states, cfg.categories
         n = self.n_sites
         partials: Dict[int, np.ndarray] = {}
+        from ..io.alignment import AMBIGUITY
+        amb = AMBIGUITY.get(S, ())
         for leaf in range(self.tree.n_leaves):
             si = self.tip_states[leaf]
             onehot = np.zeros((n, S))
             valid = (si >= 0) & (si < S)
             onehot[np.arange(n)[valid], si[valid]] = 1.0
-            onehot[~valid] = 1.0
+            for k, members in enumerate(amb):
+                hit = si == S + k
+                for mem in members:
+                    onehot[hit, mem] = 1.0
+            gap = (si < 0) | (si >= S + len(amb))
+            onehot[gap] = 1.0
             partials[leaf] = np.repeat(onehot[:, None, :], C, axis=1)
         for parent, lc, rc, tl, tr in self.schedule:
             out = np.empty((n, C, S))
@@ -543,13 +618,19 @@ def batch_log_likelihood(pms) -> np.ndarray:
     _, _, _, ttab = pm0._fused_inputs()
     interpret = cfg.interpret or (jax.default_backend() != "tpu")
     n_parts = pm0.n_pad // cfg.block_sites
+    from ..ops.plf_tree_pallas import fit_block_sites
+    bs = fit_block_sites(n_leaves + n_slots, cfg.rows, cfg.block_sites)
+    if bs is None:
+        raise ValueError(
+            f"batch_log_likelihood: {n_leaves}-leaf arena does not fit "
+            f"VMEM at any block size; score candidates individually")
 
     parts = batched_tree_loglik_parts(
         sched_stack, lcs_st, rcs_st, pm0._codes, pm0._ec, ttab,
         pm0._root_rows, pm0._wgt_dev.astype(jnp.float32),
         jnp.int32(pm0.n_sites), n_edges=E, n_leaves=n_leaves,
         n_slots=n_slots, states=S, categories=C,
-        block_sites=cfg.block_sites, interpret=interpret,
+        block_sites=bs, interpret=interpret,
         variant=cfg.resolved_kernel_variant, n_parts=n_parts)
     return np.asarray(parts, np.float64).sum(axis=1)
 

@@ -303,18 +303,21 @@ def parse_paml_matrix(text: str) -> Tuple[np.ndarray, np.ndarray]:
 
 #: Empirical models shipped as PAML-format data files under models/data/.
 #: lg.dat: Le & Gascuel (2008) MBE 25(7):1307-1320; wag.dat: Whelan &
-#: Goldman (2001) MBE 18(5):691-699.  Transcribed from the published
+#: Goldman (2001) MBE 18(5):691-699; jtt.dat: Jones, Taylor & Thornton
+#: (1992) CABIOS 8:275-282; dayhoff.dat: Dayhoff, Schwartz & Orcutt
+#: (1978); mtrev.dat: Adachi & Hasegawa (1996) mtREV24; cprev.dat:
+#: Adachi et al. (2000) cpREV.  Transcribed from the published
 #: PAML-distribution tables (this build has no network access); the
 #: structural checks in tests/test_empirical.py validate row counts,
 #: frequency sums and the models' documented extremes — for regulated
-#: production use, byte-compare against your own lg.dat/wag.dat copy.
-BUILTIN_PROTEIN_MODELS = ("lg", "wag")
+#: production use, byte-compare against your own PAML .dat copies.
+BUILTIN_PROTEIN_MODELS = ("lg", "wag", "jtt", "dayhoff", "mtrev", "cprev")
 
 
 def empirical_protein(source: str) -> SubstitutionModel:
     """Build a 20-state model from PAML ``.dat`` text, a file path, or a
-    built-in name ("lg", "wag") — LG/WAG/JTT distribution files parse
-    directly."""
+    built-in name ("lg", "wag", "jtt", "dayhoff", "mtrev", "cprev") —
+    any PAML-distribution file parses directly."""
     import os
     text = source
     if source.lower() in BUILTIN_PROTEIN_MODELS:

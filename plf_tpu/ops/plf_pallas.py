@@ -120,21 +120,39 @@ def _plf_kernel(n_ref, x1_ref, x2_ref, lc_ref, rc_ref, ec_ref,
         sc_ref[:, o:o + CH] = mask.astype(jnp.int32)
 
 
+#: MXU variant -> matmul precision.  On TPU the levels map to MXU pass
+#: counts over bf16-decomposed fp32 operands: HIGHEST = 6 passes (full
+#: fp32, <=1 ULP vs the scalar reference), HIGH = 3 passes (bf16x3,
+#: ~fp32-grade), DEFAULT = 1 pass (bf16 operands, fp32 accumulation).
+#: The PLF at S>=20 is MXU-COMPUTE-bound (measured ~30 TFLOP/s fp32 at
+#: S=61), so fewer passes buy near-proportional throughput — the same
+#: optimisation ladder the reference walked on its fused AIE kernel
+#: (aie/src/128x1PLFwindow2in/kernels/combine_and_mac_EV.cpp:8,45,78).
+MXU_PRECISION = {
+    "mxu": jax.lax.Precision.HIGHEST,
+    "mxu_3x": jax.lax.Precision.HIGH,
+    "mxu_bf16": jax.lax.Precision.DEFAULT,
+}
+
+
 def _plf_kernel_mxu(n_ref, x1_ref, x2_ref, ml_ref, mr_ref, me_ref,
                     x3_ref, sc_ref, *, states: int, categories: int,
-                    block_sites: int):
+                    block_sites: int,
+                    precision=jax.lax.Precision.HIGHEST):
     """MXU variant: the three PLF stages as (rows, rows) @ (rows, BS)
     matmuls against block-structured operators
     (layout.branch_to_block_matrix) on the systolic array.  Measured on
     v5e: comparable throughput to the VPU form (both compute-bound), but
     results are within 1 ULP rather than bit-exact (the MXU's fp32
     HIGHEST path rounds differently); scaler counts still match exactly.
-    The VPU variant is the default and the exactness anchor."""
+    The VPU variant is the default and the exactness anchor.  Lower
+    ``precision`` levels (see MXU_PRECISION) trade accuracy for MXU
+    passes on the compute-bound S>=20 shapes."""
     S, C = states, categories
     BS = block_sites
     x1 = x1_ref[...].astype(jnp.float32)
     x2 = x2_ref[...].astype(jnp.float32)
-    hi = jax.lax.Precision.HIGHEST
+    hi = precision
     ump1 = jax.lax.dot(ml_ref[...], x1, precision=hi,
                        preferred_element_type=jnp.float32)
     ump2 = jax.lax.dot(mr_ref[...], x2, precision=hi,
@@ -196,12 +214,14 @@ def plf_pallas_lane_major(x1, x2, lc, rc, ec, n, *, states: int = 4,
     # Index maps receive (grid_idx, *scalar_prefetch_refs).
     block = pl.BlockSpec((rows, block_sites), lambda i, n: (0, i),
                          memory_space=pltpu.VMEM)
-    const_cols = rows if variant == "mxu" else S
+    is_mxu = variant.startswith("mxu")
+    const_cols = rows if is_mxu else S
     const = pl.BlockSpec((rows, const_cols), lambda i, n: (0, 0),
                          memory_space=pltpu.VMEM)
-    if variant == "mxu":
+    if is_mxu:
         kernel = functools.partial(_plf_kernel_mxu, states=S, categories=C,
-                                   block_sites=block_sites)
+                                   block_sites=block_sites,
+                                   precision=MXU_PRECISION[variant])
     else:
         kernel = functools.partial(_plf_kernel, states=S, categories=C,
                                    block_sites=block_sites)
@@ -263,7 +283,7 @@ def plf_pallas(x1, x2, left, right, ev, wgt, *, states: int = 4,
     if dtype == "bfloat16":
         x1l = x1l.astype(jnp.bfloat16)
         x2l = x2l.astype(jnp.bfloat16)
-    if variant == "mxu":
+    if variant.startswith("mxu"):
         lc = L.branch_to_block_matrix(left, S, C)
         rc = L.branch_to_block_matrix(right, S, C)
         ec = L.ev_to_block_matrix(ev, S, C)

@@ -197,7 +197,7 @@ def _tree_bwd_call(bwd_arrs, codes3, lcs3, rcs3, lcsT3, rcsT3, ec, ecT,
                              memory_space=pltpu.VMEM),
                 op3, op3, op3, op3,
                 const, const,
-                pl.BlockSpec((rows, S + 1), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, ttab.shape[-1]), c0, memory_space=pltpu.VMEM),
                 pl.BlockSpec((rows, 1), c0, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_sites), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM),

@@ -37,10 +37,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..reference import MIN_LIKELIHOOD, TWO_TO_THE_32
 from . import layout as L
+from .plf_pallas import MXU_PRECISION
 
 __all__ = ["plf_tree_pallas", "plf_tree_pallas_dynamic", "schedule_depth",
            "reorder_schedule", "compile_register_schedule",
-           "pack_branch_constants"]
+           "pack_branch_constants", "fit_block_sites"]
+
+#: VMEM budget for kernel scratch arenas (a v5e core has ~16 MiB VMEM;
+#: leave room for operand/output blocks and double-buffering).
+ARENA_VMEM_BUDGET = 10 * 2 ** 20
+
+
+def fit_block_sites(n_arena_slots: int, rows: int, block_sites: int,
+                    vmem_budget: int = ARENA_VMEM_BUDGET):
+    """Largest 128-multiple divisor of ``block_sites`` whose
+    ``n_arena_slots``-slot fp32 arena fits ``vmem_budget``, or None.
+
+    Divisors of the configured block keep the grid exact: any return
+    value divides every n_pad that the original block divides.
+    """
+    per_site = n_arena_slots * rows * 4
+    for bs in range(block_sites, 127, -128):
+        if block_sites % bs == 0 and per_site * bs <= vmem_budget:
+            return bs
+    return None
 
 
 def _tile_rows(x, copies: int):
@@ -61,33 +81,33 @@ def reorder_schedule(schedule: Sequence[Tuple], n_leaves: int
     """
     children = {p: (l, r, tl, tr, e)
                 for e, (p, l, r, tl, tr) in enumerate(schedule)}
-    height = {}
+    # Heights in one pass: the input schedule is post-order, so both
+    # children precede their parent (iterative — a pectinate tree of
+    # thousands of taxa must not hit the interpreter recursion limit).
+    height: dict = {}
+    for (p, l, r, _tl, _tr) in schedule:
+        height[p] = 1 + max(height.get(l, 0), height.get(r, 0))
 
-    def h(node):
-        if node not in children:
-            return 0
-        if node in height:
-            return height[node]
-        l, r, *_ = children[node]
-        height[node] = 1 + max(h(l), h(r))
-        return height[node]
-
+    # Iterative taller-child-first post-order emission (explicit stack;
+    # the taller child is pushed LAST so its subtree pops/emits first).
     out: List[Tuple] = []
-
-    def emit(node):
-        if node not in children:
-            return
-        l, r, tl, tr, e = children[node]
-        if h(l) >= h(r):
-            emit(l)
-            emit(r)
-        else:
-            emit(r)
-            emit(l)
-        out.append((node, l, r, tl, tr, e))
-
     root = schedule[-1][0]
-    emit(root)
+    stack = [(root, False)]
+    while stack:
+        node, expanded = stack.pop()
+        if node not in children:
+            continue
+        l, r, tl, tr, e = children[node]
+        if expanded:
+            out.append((node, l, r, tl, tr, e))
+        else:
+            stack.append((node, True))
+            if height.get(l, 0) >= height.get(r, 0):
+                stack.append((r, False))
+                stack.append((l, False))
+            else:
+                stack.append((l, False))
+                stack.append((r, False))
     assert len(out) == len(schedule)
     return out
 
@@ -105,15 +125,15 @@ def schedule_depth(schedule: Sequence[Tuple], n_leaves: int) -> int:
     return peak
 
 
-def _expand_tip(code_row, ttab_ref, states: int):
+def _expand_tip(code_row, ttab_ref, states: int = None):
     """int32 codes (1, BS) -> (rows, BS) eigen-coordinate tip CLV.
 
     Exact: sum of one matched table column and zeros (0*x == 0, 0+v == v
-    for the finite table values).
+    for the finite table values).  The column count (plain states + gap
+    + IUPAC partial-ambiguity codes) comes from the table width.
     """
-    S = states
     acc = None
-    for s in range(S + 1):
+    for s in range(ttab_ref.shape[-1]):
         m = (code_row == s).astype(jnp.float32)          # (1, BS)
         term = m * ttab_ref[:, s:s + 1]                  # (rows, BS)
         acc = term if acc is None else acc + term
@@ -142,10 +162,12 @@ def _plf_node(x1, x2, lc_col, rc_col, ec_ref, valid, states, categories):
     return x3, mask.astype(jnp.int32)
 
 
-def _plf_node_mxu(x1, x2, ml, mr, me, valid):
+def _plf_node_mxu(x1, x2, ml, mr, me, valid,
+                  precision=jax.lax.Precision.HIGHEST):
     """One PLF node as three (rows, rows) block matmuls on the MXU
-    (operators from layout.branch_to_block_matrix / ev_to_block_matrix)."""
-    hi = jax.lax.Precision.HIGHEST
+    (operators from layout.branch_to_block_matrix / ev_to_block_matrix);
+    ``precision`` selects the MXU pass count (plf_pallas.MXU_PRECISION)."""
+    hi = precision
     ump1 = jax.lax.dot(ml, x1, precision=hi,
                        preferred_element_type=jnp.float32)
     ump2 = jax.lax.dot(mr, x2, precision=hi,
@@ -174,7 +196,7 @@ def _tree_kernel(n_ref, codes_ref, lcs_ref, rcs_ref, ec_ref, ttab_ref,
         for ch in (entry[1], entry[2]):
             refcount[ch] = refcount.get(ch, 0) + 1
     scaler = jnp.zeros((1, BS), jnp.int32)
-    W = S * C if variant == "mxu" else S  # packed operator column width
+    W = S * C if variant.startswith("mxu") else S  # packed operator width
 
     def get_child(node):
         if node < n_leaves:
@@ -185,10 +207,11 @@ def _tree_kernel(n_ref, codes_ref, lcs_ref, rcs_ref, ec_ref, ttab_ref,
     for (parent, l, r, _, _, e) in schedule:
         x1 = get_child(l)
         x2 = get_child(r)
-        if variant == "mxu":
+        if variant.startswith("mxu"):
             x3, mask = _plf_node_mxu(
                 x1, x2, lcs_ref[:, e * W:(e + 1) * W],
-                rcs_ref[:, e * W:(e + 1) * W], ec_ref[...], valid)
+                rcs_ref[:, e * W:(e + 1) * W], ec_ref[...], valid,
+                precision=MXU_PRECISION[variant])
         else:
             lc_col = lambda a, e=e: lcs_ref[:, e * S + a:e * S + a + 1]
             rc_col = lambda a, e=e: rcs_ref[:, e * S + a:e * S + a + 1]
@@ -226,7 +249,7 @@ def _plf_tree_call(codes, lcs, rcs, ec, ttab, rr, n, *, schedule, n_leaves,
     n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
     E = len(schedule)
 
-    W = rows if variant == "mxu" else S
+    W = rows if variant.startswith("mxu") else S
     EW = ec.shape[-1]
     kernel = functools.partial(
         _tree_kernel, schedule=schedule, n_leaves=n_leaves, states=S,
@@ -245,7 +268,7 @@ def _plf_tree_call(codes, lcs, rcs, ec, ttab, rr, n, *, schedule, n_leaves,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((rows, EW), lambda i, n: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, S + 1), lambda i, n: (0, 0),
+                pl.BlockSpec((rows, ttab.shape[-1]), lambda i, n: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, rows), lambda i, n: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -402,8 +425,9 @@ def _tree_kernel_dynamic(n_ref, lsrc_ref, rsrc_ref, oslot_ref, eidx_ref,
         # per-edge operators ride an (E, rows, W) ref for the same reason
         lcv = lcs_ref[e]
         rcv = rcs_ref[e]
-        if variant == "mxu":
-            x3, mask = _plf_node_mxu(x1, x2, lcv, rcv, ec_ref[...], valid)
+        if variant.startswith("mxu"):
+            x3, mask = _plf_node_mxu(x1, x2, lcv, rcv, ec_ref[...], valid,
+                                     precision=MXU_PRECISION[variant])
         else:
             x3, mask = _plf_node(
                 x1, x2, lambda a: lcv[:, a:a + 1],
@@ -437,7 +461,7 @@ def _plf_tree_dynamic_call(sched_arrs, codes, lcs, rcs, ec, ttab, rr, n, *,
     S, C = states, categories
     rows = S * C
     n_pad = codes.shape[-1]
-    W = rows if variant == "mxu" else S
+    W = rows if variant.startswith("mxu") else S
 
     # Dynamic per-edge / per-leaf indexing must land on a LEADING dim
     # (Mosaic rejects runtime lane offsets that are not 128-multiples):
@@ -470,7 +494,7 @@ def _plf_tree_dynamic_call3(sched_arrs, codes3, lcs3, rcs3, ec, ttab, rr,
     n_pad = codes3.shape[-1]
     grid = (n_pad // block_sites,)
     n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
-    W = rows if variant == "mxu" else S
+    W = rows if variant.startswith("mxu") else S
 
     # Unified arena addressing: slots [0, n_leaves) hold expanded tips,
     # [n_leaves, n_leaves + n_slots) the register-machine slots — so
@@ -502,7 +526,7 @@ def _plf_tree_dynamic_call3(sched_arrs, codes3, lcs3, rcs3, ec, ttab, rr,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((rows, ec.shape[-1]), c0,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, S + 1), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, ttab.shape[-1]), c0, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, rows), c0, memory_space=pltpu.VMEM),
             ],
             out_specs=[
@@ -544,12 +568,19 @@ def plf_tree_pallas_dynamic(codes, schedule, lcs, rcs, ec, tip_table,
     stays small.
     """
     arrs, n_slots, root_slot = compile_register_schedule(schedule, n_leaves)
-    vmem = (n_leaves + n_slots) * states * categories * block_sites * 4
-    if vmem > 10 * 2 ** 20:
+    # The unified arena preloads every tip, so it needs
+    # (n_leaves + n_slots) slots — auto-shrink the site block (to a
+    # 128-multiple divisor, keeping the grid exact) until it fits VMEM.
+    fitted = fit_block_sites(n_leaves + n_slots,
+                             states * categories, block_sites)
+    if fitted is None:
+        vmem = ((n_leaves + n_slots) * states * categories
+                * block_sites * 4)
         raise ValueError(
             f"arena needs {vmem/2**20:.1f} MiB VMEM ({n_leaves} tip + "
-            f"{n_slots} live slots x block {block_sites}); reduce "
-            f"block_sites")
+            f"{n_slots} live slots) even at block 128; use the per-node "
+            f"or segmented path for this tree")
+    block_sites = fitted
     sched_arrs = tuple(jnp.asarray(a) for a in arrs) + (
         jnp.asarray([root_slot], jnp.int32),)
     return _plf_tree_dynamic_call(

@@ -1,0 +1,690 @@
+"""Segmented whole-tree kernels: big-taxa trees in O(#segments) dispatches.
+
+The fused tree kernels (ops/plf_tree_pallas.py) hold the entire
+traversal's CLV arena in VMEM — ideal until the arena (which preloads
+every tip) outgrows the ~10 MiB budget (≈1200 DNA taxa at block 128, far
+fewer at useful block sizes).  The reference's own scaling mechanism is
+splitting work into independent accelerator instances
+(/root/reference/app/src/include.h:181-195); the TPU-native analogue on
+the *tree* dimension is subtree segmentation:
+
+* the (reordered) post-order schedule is contracted bottom-up into
+  SEGMENTS — each a subtree with at most ``cap_ops`` PLF nodes whose
+  leaf-level inputs are tips or the roots of earlier segments
+  ("boundary" CLVs);
+* the forward pass runs ONE register-machine Pallas dispatch per
+  segment: tips expand in VMEM from int32 codes, boundary CLVs stream
+  in from HBM, every node CLV lives in the segment's VMEM arena, and
+  only the segment root(s) are written back to HBM.  HBM CLV traffic is
+  O(#boundaries · sites) instead of the per-node path's O(E · sites);
+* the backward pass (``make_tree_diff_segmented``) checkpoints ONLY the
+  boundary CLVs (they are the forward's chaining values, so they cost
+  nothing extra): each segment's backward recomputes its interior CLVs
+  in the arena, reverse-sweeps to per-edge operator gradients, and
+  emits the adjoints of its boundary inputs to seed earlier segments —
+  VJP residuals are O(#segments · sites), the subtree-segmented
+  generalisation of ops/plf_tree_grad.py's single-segment arena.
+
+Segmentation invariant (binary trees): a segment with k nodes has
+exactly k+1 inputs (tips + boundaries) and one root, so the arena needs
+2k+2 slots; every node has exactly one parent, so each boundary CLV is
+produced by one segment and consumed by exactly one later segment — no
+adjoint accumulation across segments is ever needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..reference import TWO_TO_THE_32
+from .plf_grad import _op_grad, _stage, transpose_lane_constants
+from .plf_tree_pallas import (ARENA_VMEM_BUDGET, _expand_tip, _plf_node,
+                              fit_block_sites)
+
+__all__ = ["plan_segments", "SegPlan", "Segment", "plf_tree_segmented",
+           "make_tree_diff_segmented"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Segment:
+    """One contracted subtree, padded to the plan's uniform shape.
+
+    Unified arena coordinates: slots [0, SEG_TIPS) hold expanded tips,
+    [SEG_TIPS, SEG_TIPS+SEG_BND) boundary-input CLVs, then one slot per
+    op (op j writes slot SEG_TIPS+SEG_BND+j), plus one trailing dummy
+    slot absorbing padded boundary-output restores.
+    """
+
+    tip_ids: np.ndarray      # (SEG_TIPS,) global leaf rows (pad: 0)
+    n_tips: int
+    bnd_in_ids: np.ndarray   # (SEG_BND,) global boundary ids (pad: 0)
+    n_bnd_in: int
+    lsrc: np.ndarray         # (SEG_OPS,) unified arena coords
+    rsrc: np.ndarray
+    ovalid: np.ndarray       # (SEG_OPS,) 1 = real op, 0 = padding
+    opos: np.ndarray         # (SEG_OPS,) reordered-schedule positions
+    n_ops: int
+    out_slots: np.ndarray    # (SEG_OUT,) arena slots to export (pad: dummy)
+    bnd_out_ids: np.ndarray  # (SEG_OUT,) global boundary ids of exports
+    n_bnd_out: int
+    root_slot: int           # arena slot of the segment root
+
+
+@dataclasses.dataclass(frozen=True)
+class SegPlan:
+    segments: Tuple[Segment, ...]
+    n_leaves: int
+    n_edges: int
+    n_boundaries: int
+    seg_tips: int
+    seg_bnd: int
+    seg_ops: int
+    seg_out: int
+    block_sites: int
+
+    @property
+    def arena_slots(self) -> int:
+        return self.seg_tips + self.seg_bnd + self.seg_ops + 1
+
+
+def plan_segments(schedule: Sequence[Tuple], n_leaves: int, *, rows: int,
+                  block_sites: int,
+                  cap_ops: Optional[int] = None,
+                  vmem_budget: int = ARENA_VMEM_BUDGET) -> SegPlan:
+    """Contract a reordered schedule into uniform-shape segments.
+
+    ``schedule``: reorder_schedule output; operators are indexed by
+    schedule POSITION (as in ops/plf_tree_grad.make_tree_diff).
+
+    Bottom-up contraction: walking the post-order schedule, each node
+    accumulates the not-yet-emitted entries of its subtree; once that
+    reaches the threshold (or the root), the pending subtree becomes a
+    segment and the node a boundary.  Each segment is a subtree — k ops,
+    k+1 inputs, 1 root — so boundary count ≈ E / threshold, minimising
+    the O(#boundaries · sites) HBM checkpoint footprint.
+
+    ``cap_ops``/``block_sites`` auto-tune: the arena (tips + boundary
+    inputs + one slot per op + dummy) plus the boundary I/O blocks must
+    fit ``vmem_budget`` at the chosen block.
+    """
+    E = len(schedule)
+    if cap_ops is None:
+        # Prefer larger site blocks (HBM bandwidth) while keeping
+        # segments big enough that boundary checkpoints stay few:
+        # slots_needed ≈ 2*cap + 2 (arena) + cap/2-ish I/O; aim
+        # cap ≈ slots/3 and pick the largest block giving cap >= 24.
+        best = None
+        for bs in range(block_sites, 127, -128):
+            if block_sites % bs:
+                continue
+            slots = vmem_budget // (rows * bs * 4)
+            cap = max(1, int(slots) // 3)
+            if cap >= 24 or bs == 128:
+                best = (bs, min(cap, max(1, E)))
+                break
+        if best is None:
+            raise ValueError("no block size fits the VMEM budget")
+        block_sites, cap_ops = best
+    thresh = max(1, (cap_ops + 1) // 2)
+
+    children = {p: (l, r) for (p, l, r, *_rest) in schedule}
+    pos_of = {entry[0]: i for i, entry in enumerate(schedule)}
+
+    # ---- contraction ------------------------------------------------------
+    pending: Dict[int, List[int]] = {}
+    raw_segments: List[Tuple[List[int], int]] = []  # (positions, root node)
+    is_boundary: Dict[int, int] = {}                # node -> boundary id
+    for i, entry in enumerate(schedule):
+        p, l, r = entry[0], entry[1], entry[2]
+        ent = pending.pop(l, []) + pending.pop(r, []) + [i]
+        if len(ent) >= thresh or i == E - 1:
+            raw_segments.append((ent, p))
+            if i != E - 1:
+                is_boundary[p] = len(is_boundary)
+            pending[p] = []
+        else:
+            pending[p] = ent
+    assert not any(pending.get(k) for k in pending), "unemitted entries"
+    n_boundaries = len(is_boundary)
+
+    # ---- per-segment arrays ----------------------------------------------
+    built = []
+    seg_tips = seg_bnd = seg_ops = seg_out = 1
+    for ent, root in raw_segments:
+        in_seg = {schedule[i][0]: j for j, i in enumerate(ent)}
+        tips: List[int] = []
+        bnds: List[int] = []
+        tip_slot: Dict[int, int] = {}
+        bnd_slot: Dict[int, int] = {}
+        for i in ent:
+            for ch in (schedule[i][1], schedule[i][2]):
+                if ch in in_seg:
+                    continue
+                if ch < n_leaves:
+                    if ch not in tip_slot:
+                        tip_slot[ch] = len(tips)
+                        tips.append(ch)
+                else:
+                    if ch not in bnd_slot:
+                        bnd_slot[ch] = len(bnds)
+                        bnds.append(is_boundary[ch])
+        outs = [(in_seg[schedule[i][0]], is_boundary[schedule[i][0]])
+                for i in ent if schedule[i][0] in is_boundary]
+        built.append((ent, root, in_seg, tips, bnds, tip_slot, bnd_slot,
+                      outs))
+        seg_tips = max(seg_tips, len(tips))
+        seg_bnd = max(seg_bnd, len(bnds))
+        seg_ops = max(seg_ops, len(ent))
+        seg_out = max(seg_out, len(outs))
+
+    dummy = seg_tips + seg_bnd + seg_ops
+    segments = []
+    for (ent, root, in_seg, tips, bnds, tip_slot, bnd_slot, outs) in built:
+        k = len(ent)
+        lsrc = np.full(seg_ops, 0, np.int32)
+        rsrc = np.full(seg_ops, 0, np.int32)
+        ovalid = np.zeros(seg_ops, np.int32)
+        opos = np.zeros(seg_ops, np.int32)
+
+        def coord(ch) -> int:
+            if ch in in_seg:
+                return seg_tips + seg_bnd + in_seg[ch]
+            if ch < n_leaves:
+                return tip_slot[ch]
+            return seg_tips + bnd_slot[ch]
+
+        for j, i in enumerate(ent):
+            _p, l, r = schedule[i][0], schedule[i][1], schedule[i][2]
+            lsrc[j] = coord(l)
+            rsrc[j] = coord(r)
+            ovalid[j] = 1
+            opos[j] = i
+        for j in range(k, seg_ops):      # padding ops: self-contained
+            lsrc[j] = rsrc[j] = seg_tips + seg_bnd + j
+        out_slots = np.full(seg_out, dummy, np.int32)
+        bnd_out_ids = np.zeros(seg_out, np.int32)
+        for j, (slot_j, gid) in enumerate(outs):
+            out_slots[j] = seg_tips + seg_bnd + slot_j
+            bnd_out_ids[j] = gid
+        segments.append(Segment(
+            tip_ids=np.asarray(tips + [0] * (seg_tips - len(tips)),
+                               np.int32),
+            n_tips=len(tips),
+            bnd_in_ids=np.asarray(bnds + [0] * (seg_bnd - len(bnds)),
+                                  np.int32),
+            n_bnd_in=len(bnds),
+            lsrc=lsrc, rsrc=rsrc, ovalid=ovalid, opos=opos, n_ops=k,
+            out_slots=out_slots, bnd_out_ids=bnd_out_ids,
+            n_bnd_out=len(outs),
+            root_slot=seg_tips + seg_bnd + in_seg[root]))
+
+    # shrink the block until arena + boundary I/O fit
+    io_slots = 2 * seg_bnd + seg_out
+    fitted = fit_block_sites(seg_tips + seg_bnd + seg_ops + 1 + io_slots,
+                             rows, block_sites, vmem_budget)
+    if fitted is None:
+        raise ValueError(
+            f"segment arena ({seg_tips}+{seg_bnd}+{seg_ops} slots) does "
+            f"not fit VMEM at any block; lower cap_ops")
+    return SegPlan(segments=tuple(segments), n_leaves=n_leaves, n_edges=E,
+                   n_boundaries=n_boundaries, seg_tips=seg_tips,
+                   seg_bnd=seg_bnd, seg_ops=seg_ops, seg_out=seg_out,
+                   block_sites=fitted)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel: one segment = one dispatch.
+# ---------------------------------------------------------------------------
+
+
+def _seg_fwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
+                    rslot_ref, codes_ref, bnd_ref, lcs_ref, rcs_ref,
+                    ec_ref, ttab_ref, rr_ref,
+                    bout_ref, lik_ref, sc_ref, arena_ref, *,
+                    seg_tips, seg_bnd, seg_ops, seg_out, states,
+                    categories, block_sites):
+    S, C = states, categories
+    rows = S * C
+    BS = block_sites
+    ncode = ttab_ref.shape[-1]
+    site0 = pl.program_id(0) * BS
+    idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
+    valid = idx < n_ref[0]
+
+    def preload_tip(t, _):
+        arena_ref[t] = _expand_tip(codes_ref[t], ttab_ref, ncode - 1)
+        return 0
+
+    jax.lax.fori_loop(0, seg_tips, preload_tip, 0)
+
+    def preload_bnd(b, _):
+        arena_ref[seg_tips + b] = bnd_ref[b]
+        return 0
+
+    jax.lax.fori_loop(0, seg_bnd, preload_bnd, 0)
+
+    def body(i, scaler):
+        lcv = lcs_ref[i]
+        rcv = rcs_ref[i]
+        x1 = arena_ref[lsrc_ref[i]]
+        x2 = arena_ref[rsrc_ref[i]]
+        x3, mask = _plf_node(x1, x2, lambda a: lcv[:, a:a + 1],
+                             lambda a: rcv[:, a:a + 1], ec_ref, valid,
+                             S, C)
+        arena_ref[seg_tips + seg_bnd + i] = x3
+        return scaler + mask * ovalid_ref[i]
+
+    scaler = jax.lax.fori_loop(0, seg_ops, body,
+                               jnp.zeros((1, BS), jnp.int32))
+
+    def export(k, _):
+        bout_ref[k] = arena_ref[oslots_ref[k]]
+        return 0
+
+    jax.lax.fori_loop(0, seg_out, export, 0)
+
+    x_root = arena_ref[rslot_ref[0]]
+    lik = rr_ref[0:1, 0:1] * x_root[0:1, :]
+    for rrow in range(1, rows):
+        lik = lik + rr_ref[0:1, rrow:rrow + 1] * x_root[rrow:rrow + 1, :]
+    lik_ref[...] = lik
+    sc_ref[...] = scaler
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seg_tips", "seg_bnd", "seg_ops", "seg_out",
+                     "states", "categories", "block_sites", "interpret"))
+def _seg_fwd_call(seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, ec, ttab,
+                  rr, n, *, seg_tips, seg_bnd, seg_ops, seg_out, states,
+                  categories, block_sites, interpret):
+    S, C = states, categories
+    rows = S * C
+    n_pad = codes_seg.shape[-1]
+    grid = (n_pad // block_sites,)
+    n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
+    ncode = ttab.shape[-1]
+
+    kernel = functools.partial(
+        _seg_fwd_kernel, seg_tips=seg_tips, seg_bnd=seg_bnd,
+        seg_ops=seg_ops, seg_out=seg_out, states=S, categories=C,
+        block_sites=block_sites)
+    nm3 = lambda i, *_: (0, 0, i)
+    c0 = lambda i, *_: (0, 0)
+    c03 = lambda i, *_: (0, 0, 0)
+    bout, lik, sc = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((seg_tips, 1, block_sites), nm3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((seg_bnd, rows, block_sites), nm3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((seg_ops, rows, S), c03,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((seg_ops, rows, S), c03,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, S), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, ncode), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, rows), c0, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((seg_out, rows, block_sites), nm3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_sites), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_sites), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((seg_tips + seg_bnd + seg_ops + 1, rows,
+                            block_sites), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((seg_out, rows, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=23 * rows * n_pad * seg_ops,
+            bytes_accessed=(seg_tips * 4
+                            + (seg_bnd + seg_out) * rows * 4 + 8) * n_pad,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_arr, *seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, ec, ttab, rr)
+    return bout, lik, sc
+
+
+def _segment_device_arrays(seg: Segment):
+    return tuple(jnp.asarray(a) for a in
+                 (seg.lsrc, seg.rsrc, seg.ovalid, seg.out_slots,
+                  np.asarray([seg.root_slot], np.int32)))
+
+
+def _run_forward(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
+                 states, categories, interpret):
+    """Chain the per-segment dispatches; returns (lik, sc, boundaries)."""
+    rows = states * categories
+    n_pad = codes3.shape[-1]
+    bnd: Dict[int, jax.Array] = {}
+    zeros_bnd = None
+    lik = None
+    sc_total = jnp.zeros((1, n_pad), jnp.int32)
+    for seg in plan.segments:
+        codes_seg = jnp.take(codes3, jnp.asarray(seg.tip_ids), axis=0)
+        if seg.n_bnd_in or plan.seg_bnd:
+            parts = [bnd[int(g)] for g in seg.bnd_in_ids[:seg.n_bnd_in]]
+            n_fill = plan.seg_bnd - seg.n_bnd_in
+            if n_fill:
+                if zeros_bnd is None:
+                    zeros_bnd = jnp.zeros((rows, n_pad), jnp.float32)
+                parts.extend([zeros_bnd] * n_fill)
+            bnd_in = jnp.stack(parts)
+        lcs_seg = jnp.take(lcs3, jnp.asarray(seg.opos), axis=0)
+        rcs_seg = jnp.take(rcs3, jnp.asarray(seg.opos), axis=0)
+        bout, lik, sc = _seg_fwd_call(
+            _segment_device_arrays(seg), codes_seg, bnd_in, lcs_seg,
+            rcs_seg, ec, ttab, rr, n, seg_tips=plan.seg_tips,
+            seg_bnd=plan.seg_bnd, seg_ops=plan.seg_ops,
+            seg_out=plan.seg_out, states=states, categories=categories,
+            block_sites=plan.block_sites, interpret=interpret)
+        sc_total = sc_total + sc
+        for k in range(seg.n_bnd_out):
+            bnd[int(seg.bnd_out_ids[k])] = bout[k]
+    return lik, sc_total, bnd
+
+
+def plf_tree_segmented(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n,
+                       *, states: int = 4, categories: int = 4,
+                       interpret: bool = False):
+    """Segmented whole-tree likelihood forward.
+
+    Same contract as plf_tree_pallas_dynamic's leading-dim form:
+    codes3 (n_leaves, 1, n_pad) int32; lcs3/rcs3 (E, rows, S) operator
+    stacks indexed by REORDERED schedule position (the positions
+    ``plan`` was built from); returns ((1, n_pad) lik, (1, n_pad) sc).
+    """
+    lik, sc, _ = _run_forward(plan, codes3, lcs3, rcs3, ec, ttab, rr, n,
+                              states=states, categories=categories,
+                              interpret=interpret)
+    return lik, sc
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel: recompute one segment's interior, reverse-sweep.
+# ---------------------------------------------------------------------------
+
+
+def _seg_bwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
+                    rslot_ref, codes_ref, bnd_ref, lcs_ref, rcs_ref,
+                    lcsT_ref, rcsT_ref, ec_ref, ecT_ref, ttab_ref,
+                    rrT_ref, glik_ref, gbout_ref,
+                    gl_ref, gr_ref, gec_ref, grrT_ref, gbnd_ref,
+                    arena_ref, fac_ref, *, seg_tips, seg_bnd, seg_ops,
+                    seg_out, states, categories, block_sites):
+    S, C = states, categories
+    rows = S * C
+    BS = block_sites
+    ncode = ttab_ref.shape[-1]
+    site0 = pl.program_id(0) * BS
+    idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
+    valid = idx < n_ref[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        gl_ref[...] = jnp.zeros_like(gl_ref)
+        gr_ref[...] = jnp.zeros_like(gr_ref)
+        gec_ref[...] = jnp.zeros_like(gec_ref)
+        grrT_ref[...] = jnp.zeros_like(grrT_ref)
+
+    def preload_tip(t, _):
+        arena_ref[t] = _expand_tip(codes_ref[t], ttab_ref, ncode - 1)
+        return 0
+
+    jax.lax.fori_loop(0, seg_tips, preload_tip, 0)
+
+    def preload_bnd(b, _):
+        arena_ref[seg_tips + b] = bnd_ref[b]
+        return 0
+
+    jax.lax.fori_loop(0, seg_bnd, preload_bnd, 0)
+
+    # ---- phase 1: forward recompute, every op CLV checkpointed ----------
+    def fwd_body(i, _):
+        lcv = lcs_ref[i]
+        rcv = rcs_ref[i]
+        x1 = arena_ref[lsrc_ref[i]]
+        x2 = arena_ref[rsrc_ref[i]]
+        x3, mask = _plf_node(x1, x2, lambda a: lcv[:, a:a + 1],
+                             lambda a: rcv[:, a:a + 1], ec_ref, valid,
+                             S, C)
+        arena_ref[seg_tips + seg_bnd + i] = x3
+        fac_ref[i] = jnp.where(mask > 0, jnp.float32(TWO_TO_THE_32),
+                               jnp.float32(1.0))
+        return 0
+
+    jax.lax.fori_loop(0, seg_ops, fwd_body, 0)
+
+    # ---- seed: root adjoint (non-zero only for the final segment), then
+    # restore the adjoints of this segment's boundary outputs (the root
+    # of a non-final segment IS one of them, so the restore wins) -------
+    g = glik_ref[...] * valid.astype(jnp.float32)
+    x_root = arena_ref[rslot_ref[0]]
+    grrT_ref[...] += jnp.sum(x_root * g, axis=1, keepdims=True)
+    arena_ref[rslot_ref[0]] = rrT_ref[...] * g
+
+    def restore(k, _):
+        arena_ref[oslots_ref[k]] = gbout_ref[k]
+        return 0
+
+    jax.lax.fori_loop(0, seg_out, restore, 0)
+
+    # ---- phase 2: reverse sweep (slots flip CLV -> adjoint) -------------
+    def bwd_body(j, _):
+        i = seg_ops - 1 - j
+        ow = ovalid_ref[i].astype(jnp.float32)
+        g_x3 = arena_ref[seg_tips + seg_bnd + i] * ow
+        g_y = g_x3 * fac_ref[i]
+        lcv = lcs_ref[i]
+        rcv = rcs_ref[i]
+        x1 = arena_ref[lsrc_ref[i]]
+        x2 = arena_ref[rsrc_ref[i]]
+        u1 = _stage(x1, lcv, S, C)
+        u2 = _stage(x2, rcv, S, C)
+        g_p = _stage(g_y, ecT_ref, S, C)
+        g_u1 = g_p * u2
+        g_u2 = g_p * u1
+        gl_ref[i] += _op_grad(x1, g_u1, S, C)
+        gr_ref[i] += _op_grad(x2, g_u2, S, C)
+        gec_ref[...] += _op_grad(u1 * u2, g_y, S, C)
+        arena_ref[lsrc_ref[i]] = _stage(g_u1, lcsT_ref[i], S, C)
+        arena_ref[rsrc_ref[i]] = _stage(g_u2, rcsT_ref[i], S, C)
+        return 0
+
+    jax.lax.fori_loop(0, seg_ops, bwd_body, 0)
+
+    # ---- export boundary-input adjoints ---------------------------------
+    def export(b, _):
+        gbnd_ref[b] = arena_ref[seg_tips + b]
+        return 0
+
+    jax.lax.fori_loop(0, seg_bnd, export, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("seg_tips", "seg_bnd", "seg_ops", "seg_out",
+                     "states", "categories", "block_sites", "interpret"))
+def _seg_bwd_call(seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, lcsT_seg,
+                  rcsT_seg, ec, ecT, ttab, rrT, glik, gbout, n, *,
+                  seg_tips, seg_bnd, seg_ops, seg_out, states, categories,
+                  block_sites, interpret):
+    S, C = states, categories
+    rows = S * C
+    n_pad = codes_seg.shape[-1]
+    grid = (n_pad // block_sites,)
+    n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
+    ncode = ttab.shape[-1]
+
+    kernel = functools.partial(
+        _seg_bwd_kernel, seg_tips=seg_tips, seg_bnd=seg_bnd,
+        seg_ops=seg_ops, seg_out=seg_out, states=S, categories=C,
+        block_sites=block_sites)
+    nm3 = lambda i, *_: (0, 0, i)
+    c0 = lambda i, *_: (0, 0)
+    c03 = lambda i, *_: (0, 0, 0)
+    op3 = pl.BlockSpec((seg_ops, rows, S), c03, memory_space=pltpu.VMEM)
+    const = pl.BlockSpec((rows, S), c0, memory_space=pltpu.VMEM)
+    gl, gr, gec, grrT, gbnd = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((seg_tips, 1, block_sites), nm3,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((seg_bnd, rows, block_sites), nm3,
+                             memory_space=pltpu.VMEM),
+                op3, op3, op3, op3,
+                const, const,
+                pl.BlockSpec((rows, ncode), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, 1), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_sites), lambda i, *_: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((seg_out, rows, block_sites), nm3,
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                op3, op3, const,
+                pl.BlockSpec((rows, 1), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((seg_bnd, rows, block_sites), nm3,
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((seg_tips + seg_bnd + seg_ops + 1, rows,
+                            block_sites), jnp.float32),
+                pltpu.VMEM((seg_ops, 1, block_sites), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((seg_ops, rows, S), jnp.float32),
+            jax.ShapeDtypeStruct((seg_ops, rows, S), jnp.float32),
+            jax.ShapeDtypeStruct((rows, S), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((seg_bnd, rows, n_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 23 * rows * n_pad * seg_ops,
+            bytes_accessed=(seg_tips * 4
+                            + (2 * seg_bnd + seg_out) * rows * 4
+                            + 4) * n_pad,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_arr, *seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, lcsT_seg,
+      rcsT_seg, ec, ecT, ttab, rrT, glik, gbout)
+    return gl, gr, gec, grrT, gbnd
+
+
+def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
+                             states: int = 4, categories: int = 4,
+                             block_sites: int = 1024,
+                             cap_ops: Optional[int] = None,
+                             interpret: bool = False,
+                             vmem_budget: int = ARENA_VMEM_BUDGET):
+    """Differentiable segmented whole-tree likelihood.
+
+    Same contract as ops/plf_tree_grad.make_tree_diff — returns
+    ``f(codes3, lcs3, rcs3, ec, ttab, rr, n) -> (lik, sc)`` with
+    operators indexed by REORDERED schedule position — but scales to
+    trees whose single-segment backward arena cannot fit VMEM: VJP
+    residuals are the O(#segments) boundary CLVs, each segment's
+    backward recomputes its interior in the arena, and boundary-input
+    adjoints chain segment-to-segment in reverse.
+    """
+    S, C = states, categories
+    rows = S * C
+    plan = plan_segments(schedule, n_leaves, rows=rows,
+                         block_sites=block_sites, cap_ops=cap_ops,
+                         vmem_budget=vmem_budget)
+    E = len(schedule)
+
+    def fwd_run(codes3, lcs3, rcs3, ec, ttab, rr, n):
+        return _run_forward(plan, codes3, lcs3, rcs3, ec, ttab, rr, n,
+                            states=S, categories=C, interpret=interpret)
+
+    @jax.custom_vjp
+    def f(codes3, lcs3, rcs3, ec, ttab, rr, n):
+        lik, sc, _ = fwd_run(codes3, lcs3, rcs3, ec, ttab, rr, n)
+        return lik, sc
+
+    def fwd(codes3, lcs3, rcs3, ec, ttab, rr, n):
+        lik, sc, bnd = fwd_run(codes3, lcs3, rcs3, ec, ttab, rr, n)
+        bnd_flat = tuple(bnd[g] for g in range(plan.n_boundaries))
+        return (lik, sc), (codes3, lcs3, rcs3, ec, ttab, rr, n, bnd_flat)
+
+    def bwd(res, cts):
+        glik, _ = cts
+        codes3, lcs3, rcs3, ec, ttab, rr, n, bnd_flat = res
+        n_pad = codes3.shape[-1]
+        tT = functools.partial(transpose_lane_constants,
+                               states=S, categories=C)
+        ecT = tT(ec)
+        rrT = jnp.transpose(rr)
+        zero_blk = jnp.zeros((rows, n_pad), jnp.float32)
+        zero_lik = jnp.zeros((1, n_pad), jnp.float32)
+        g_bnd: Dict[int, jax.Array] = {}
+        gl_tot = jnp.zeros_like(lcs3)
+        gr_tot = jnp.zeros_like(rcs3)
+        gec_tot = jnp.zeros_like(ec)
+        grrT_tot = jnp.zeros((rows, 1), jnp.float32)
+        last = len(plan.segments) - 1
+        for si in range(last, -1, -1):
+            seg = plan.segments[si]
+            codes_seg = jnp.take(codes3, jnp.asarray(seg.tip_ids), axis=0)
+            parts = [bnd_flat[int(g)]
+                     for g in seg.bnd_in_ids[:seg.n_bnd_in]]
+            parts.extend([zero_blk] * (plan.seg_bnd - seg.n_bnd_in))
+            bnd_in = jnp.stack(parts)
+            gparts = [g_bnd[int(g)]
+                      for g in seg.bnd_out_ids[:seg.n_bnd_out]]
+            gparts.extend([zero_blk] * (plan.seg_out - seg.n_bnd_out))
+            gbout = jnp.stack(gparts)
+            idxs = jnp.asarray(seg.opos)
+            lcs_seg = jnp.take(lcs3, idxs, axis=0)
+            rcs_seg = jnp.take(rcs3, idxs, axis=0)
+            lcsT_seg = jax.vmap(tT)(lcs_seg)
+            rcsT_seg = jax.vmap(tT)(rcs_seg)
+            gs = glik if si == last else zero_lik
+            gl, gr, gec, grrT, gbnd = _seg_bwd_call(
+                _segment_device_arrays(seg), codes_seg, bnd_in, lcs_seg,
+                rcs_seg, lcsT_seg, rcsT_seg, ec, ecT, ttab, rrT, gs,
+                gbout, n, seg_tips=plan.seg_tips, seg_bnd=plan.seg_bnd,
+                seg_ops=plan.seg_ops, seg_out=plan.seg_out, states=S,
+                categories=C, block_sites=plan.block_sites,
+                interpret=interpret)
+            k = seg.n_ops
+            gl_tot = gl_tot.at[idxs[:k]].add(gl[:k])
+            gr_tot = gr_tot.at[idxs[:k]].add(gr[:k])
+            gec_tot = gec_tot + gec
+            grrT_tot = grrT_tot + grrT
+            for b in range(seg.n_bnd_in):
+                g_bnd[int(seg.bnd_in_ids[b])] = gbnd[b]
+        return (None, gl_tot, gr_tot, gec_tot, jnp.zeros_like(ttab),
+                jnp.transpose(grrT_tot), None)
+
+    f.defvjp(fwd, bwd)
+    f.plan = plan
+    return f

@@ -72,6 +72,10 @@ SLOW_TESTS = (
     "test_tree_grad.py::test_tree_rates_and_weights_grads",
     "test_tree_grad.py::test_tree_backend_with_gaps_and_weights",
     "test_tree_grad.py::test_tree_backend_ascertainment",
+    "test_tree_seg.py::test_segmented_forward_rescaling_case",
+    "test_tree_seg.py::test_segmented_underflow_grads",
+    "test_tree_seg.py::test_segmented_grads_match_xla",
+    "test_tree_seg.py::test_segmented_grads_match_tree_backend",
     "test_tree_kernel.py::test_large_tree_uses_dynamic_kernel",
     "test_tree_kernel.py::test_fused_deep_tree_scalers",
     "test_tree_kernel.py::test_fused_protein",

@@ -121,3 +121,56 @@ def test_infer_cli_with_lg(tmp_path):
                      "--fit", "none", "--out", str(out)])
     assert rc == 0
     assert out.read_text().strip().endswith(";")
+
+
+@pytest.mark.parametrize("name", ["jtt", "dayhoff", "mtrev", "cprev"])
+def test_builtin_tables_structural(name):
+    """JTT/Dayhoff/mtREV/cpREV ship as PAML .dat; structural parity:
+    190 exchangeabilities, 20 frequencies summing to 1, and a valid
+    reversible generator."""
+    model = empirical_protein(name)
+    assert model.states == 20
+    assert model.pi.sum() == pytest.approx(1.0, abs=1e-6)
+    q = (model.u * model.eigenvalues[None, :]) @ model.w
+    np.testing.assert_allclose(q.sum(axis=1), 0.0, atol=1e-7)
+    np.testing.assert_allclose(model.pi @ q, 0.0, atol=1e-7)
+    # mean rate normalised to 1 substitution per unit time
+    assert -np.sum(model.pi * np.diag(q)) == pytest.approx(1.0, rel=1e-6)
+
+
+def test_builtin_tables_documented_extremes():
+    """Spot checks against the published matrices' well-known features."""
+    import os
+    aa = AMINO_ACIDS
+    data = os.path.join(os.path.dirname(__file__), "..", "plf_tpu",
+                        "models", "data")
+    # JTT: I<->V is among the very highest exchangeabilities (961);
+    # L is the most frequent residue
+    R, pi = parse_paml_matrix(open(os.path.join(data, "jtt.dat")).read())
+    assert R[aa.index("I"), aa.index("V")] == 961
+    assert aa[int(np.argmax(pi))] == "L"
+    # Dayhoff: W<->anything is rare (first column zero entries exist)
+    R, pi = parse_paml_matrix(
+        open(os.path.join(data, "dayhoff.dat")).read())
+    assert R[aa.index("A"), aa.index("W")] == 0
+    assert aa[int(np.argmax(pi))] == "G"
+    # mtREV24: mitochondrial code is Leu-rich (pi_L = 0.169 max) and
+    # I<->V is the largest exchangeability
+    R, pi = parse_paml_matrix(open(os.path.join(data, "mtrev.dat")).read())
+    assert aa[int(np.argmax(pi))] == "L"
+    assert R[aa.index("I"), aa.index("V")] == R.max()
+    # cpREV: Leu most frequent, I<->V again extreme
+    R, pi = parse_paml_matrix(open(os.path.join(data, "cprev.dat")).read())
+    assert aa[int(np.argmax(pi))] == "L"
+    assert R[aa.index("I"), aa.index("V")] == R.max()
+
+
+def test_builtin_tables_likelihood_sane():
+    """Each new table evaluates end-to-end through the engine."""
+    from plf_tpu.models import simulate_alignment
+    model = empirical_protein("jtt")
+    tree = random_tree(4, seed=13)
+    tips = simulate_alignment(tree, model, n_sites=40, seed=14)
+    pm = PhyloModel(tree, model, tips, alpha=0.8)
+    got = pm.log_likelihood().log_likelihood
+    assert got == pytest.approx(pm.log_likelihood_bruteforce(), abs=2e-2)

@@ -36,8 +36,10 @@ def test_parse_phylip():
 
 
 def test_encode_dna_ambiguity():
+    # IUPAC partial ambiguity keeps its information (R -> code 4,
+    # Y -> 5, multi-hot tip CLVs); only N/gap/? are fully ambiguous
     codes = encode_dna(["ACGTUacgt-NRY?"])
-    expect = [0, 1, 2, 3, 3, 0, 1, 2, 3, -1, -1, -1, -1, -1]
+    expect = [0, 1, 2, 3, 3, 0, 1, 2, 3, -1, -1, 4, 5, -1]
     np.testing.assert_array_equal(codes[0], expect)
 
 

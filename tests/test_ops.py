@@ -266,3 +266,30 @@ def test_pallas_mxu_protein():
                     interpret=True, variant="mxu")
     assert_clv_match(got[0], ref[0], exact=False)
     assert int(got[2]) == ref[2]
+
+
+@pytest.mark.parametrize("variant", ["mxu_3x", "mxu_bf16"])
+def test_mxu_reduced_precision_variants_run(variant):
+    """Plumbing check for the reduced-pass MXU variants (accuracy and
+    speed are measured on hardware — benchmarks/protein_tuning; on CPU
+    interpret mode all precisions execute as fp32)."""
+    from plf_tpu.ops.plf_pallas import plf_pallas
+    import jax.numpy as jnp
+
+    S, C, n = 20, 4, 300
+    rng = np.random.default_rng(11)
+    x1 = rng.random((n, C * S), np.float32)
+    x2 = rng.random((n, C * S), np.float32)
+    left = rng.random((C, S, S), np.float32)
+    right = rng.random((C, S, S), np.float32)
+    ev = rng.random((S, S), np.float32)
+    wgt = np.ones(n, np.int32)
+    x3v, scv, incv = plf_pallas(x1, x2, left, right, ev, wgt, states=S,
+                                categories=C, block_sites=128,
+                                interpret=True, variant="vpu")
+    x3m, scm, incm = plf_pallas(x1, x2, left, right, ev, wgt, states=S,
+                                categories=C, block_sites=128,
+                                interpret=True, variant=variant)
+    np.testing.assert_allclose(np.asarray(x3m), np.asarray(x3v),
+                               rtol=2e-2, atol=1e-4)
+    assert int(incm) == int(incv)

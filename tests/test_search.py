@@ -112,6 +112,31 @@ def test_newick_roundtrip_likelihood():
     assert np.isclose(ll0, ll1, rtol=1e-6)
 
 
+def test_spr_round_scores_in_one_batched_dispatch(monkeypatch):
+    # SPR neighbourhoods are same-(E, n_slots) shape classes and must
+    # ride the batched register-machine kernel: one
+    # batch_log_likelihood call per round, never per candidate
+    import plf_tpu.models.phylo as phylo_mod
+    from plf_tpu.models.search import spr_search
+
+    calls = {"batch": 0, "sizes": []}
+    orig = phylo_mod.batch_log_likelihood
+
+    def counting(pms):
+        calls["batch"] += 1
+        calls["sizes"].append(len(pms))
+        return orig(pms)
+
+    monkeypatch.setattr(phylo_mod, "batch_log_likelihood", counting)
+    tree = random_tree(8, seed=3)
+    tips = np.random.default_rng(3).integers(0, 4, size=(8, 96))
+    spr_search(tree, hky85(2.0), tips, alpha=0.5,
+               config=PLFConfig(block_sites=128), max_rounds=1,
+               max_neighbors=10)
+    assert calls["batch"] == 1
+    assert calls["sizes"][0] == 10
+
+
 def test_spr_search_improves():
     true_tree = random_tree(6, seed=9, mean_branch=0.2)
     model = hky85(2.0)

@@ -114,3 +114,20 @@ def test_distributed_helpers(mesh):
 def test_initialize_distributed_single_host_noop():
     from plf_tpu.parallel import initialize_distributed
     assert initialize_distributed(num_processes=1) is False
+
+
+def test_weak_scaling_shard_count_invariance(tmp_path):
+    """The weak-scaling protocol harness (benchmarks/weak_scaling.py):
+    per-site results must be identical for every device count (the
+    correctness half of BASELINE.json's >=90% weak-scaling criterion;
+    the perf half needs a real pod and is labeled perf_valid=0 here)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from benchmarks.weak_scaling import run
+
+    rows = run(2048, str(tmp_path / "weak.csv"), block=128)
+    assert [r["n_devices"] for r in rows] == [1, 2, 4, 8]
+    assert all(r["perf_valid"] == 0 for r in rows)  # CPU protocol run
+    lls = {r["ll_per_site"] for r in rows}
+    assert len(lls) == 1
+    assert (tmp_path / "weak.csv").exists()
