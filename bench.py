@@ -53,7 +53,7 @@ def make_inputs(n_sites, states, categories, seed=0, variant="vpu",
     left = rng.random((C, S, S), dtype=np.float32)
     right = rng.random((C, S, S), dtype=np.float32)
     ev = rng.random((S, S), dtype=np.float32)
-    if variant == "mxu":
+    if variant.startswith("mxu"):
         lc = L.branch_to_block_matrix(left, S, C)
         rc = L.branch_to_block_matrix(right, S, C)
         ec = L.ev_to_block_matrix(ev, S, C)

@@ -1,0 +1,124 @@
+"""Segmented tree engine on hardware: big-taxa forward + gradients.
+
+Round-2 state (VERDICT): at >=160 taxa neither gradient backend fit
+(per-node VJP residuals > HBM budget at big sites; single-segment
+arena > VMEM at any block), and the forward fell back to one dispatch
+per node.  The segmented engine (ops/plf_tree_seg.py) closes both:
+
+  1. 160-taxa x 1M sites: value_and_grad via backend='segmented'
+     (slope protocol) — the case that previously raised.
+  2. 512-taxa x 262144 sites: forward log-likelihood, segmented vs
+     per-node traversal wall time (dispatch-count win).
+  3. 256-taxa x 4M sites: segmented gradient (the VERDICT acceptance
+     shape class; 1e7 needs ~10 GB of int32 codes alone — attempted
+     last, recorded as OOM if it does not fit).
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/seg_bench.py
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np  # noqa: E402
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from plf_tpu.config import PLFConfig  # noqa: E402
+from plf_tpu.models import PhyloModel, hky85, random_tree  # noqa: E402
+from plf_tpu.models.optimize import tree_loglik_fn  # noqa: E402
+
+print("devices:", jax.devices(), flush=True)
+OUT = os.path.join(os.path.dirname(__file__), "results", "r03_seg.txt")
+lines = []
+
+
+def log(s):
+    print(s, flush=True)
+    lines.append(s)
+
+
+def slope(make_chain, t0, k_lo=1, k_hi=4, reps=3):
+    f_lo = jax.jit(lambda t: make_chain(t, k_lo))
+    f_hi = jax.jit(lambda t: make_chain(t, k_hi))
+    for f in (f_lo, f_hi):
+        float(np.asarray(f(t0)))
+    def run(f):
+        t_start = time.perf_counter()
+        for _ in range(reps):
+            v = f(t0)
+        float(np.asarray(v))
+        return (time.perf_counter() - t_start) / reps
+    return (run(f_hi) - run(f_lo)) / (k_hi - k_lo)
+
+
+def grad_case(n_taxa, n_sites, block=4096):
+    tree = random_tree(n_taxa, seed=3)
+    aln = np.random.default_rng(7).integers(
+        0, 4, size=(n_taxa, n_sites)).astype(np.int32)
+    pm = PhyloModel(tree, hky85(2.0), aln, alpha=0.7,
+                    config=PLFConfig(block_sites=block))
+    fn, t0 = tree_loglik_fn(pm, backend="segmented")
+    t0j = jnp.asarray(t0)
+
+    def vjp_chain(t, k):
+        acc = jnp.float32(0)
+        for _ in range(k):
+            v, g = jax.value_and_grad(fn)(t + acc * 1e-30)
+            acc = acc + v + jnp.sum(g) * 1e-30
+        return acc
+
+    dt = slope(vjp_chain, t0j)
+    e = len(pm.schedule)
+    nsps = e * n_sites / dt
+    log(f"segmented grad {n_taxa} taxa x {n_sites} sites: "
+        f"{dt*1e3:.1f} ms/eval, {nsps/1e9:.2f} G node-sites/s "
+        f"(E={e})")
+    # sanity: gradient finite and ll matches forward evaluation
+    v, g = jax.value_and_grad(fn)(t0j)
+    assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
+    ref = pm.log_likelihood(method="segmented").log_likelihood
+    assert abs(float(v) - ref) < 1e-5 * abs(ref) + 1e-6, (float(v), ref)
+    return dt
+
+
+def forward_case(n_taxa, n_sites, block=4096):
+    tree = random_tree(n_taxa, seed=5)
+    aln = np.random.default_rng(9).integers(
+        0, 4, size=(n_taxa, n_sites)).astype(np.int32)
+    pm = PhyloModel(tree, hky85(2.0), aln, alpha=0.7,
+                    config=PLFConfig(block_sites=block))
+
+    def timeit(method, reps=5):
+        pm.log_likelihood(method=method)          # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            res = pm.log_likelihood(method=method)
+        return (time.perf_counter() - t0) / reps, res
+
+    dt_seg, res_s = timeit("segmented")
+    dt_per, res_p = timeit("per-node")
+    assert res_s.scaler_total == res_p.scaler_total
+    assert abs(res_s.log_likelihood - res_p.log_likelihood) < (
+        1e-6 * abs(res_p.log_likelihood))
+    from plf_tpu.models.phylo import PhyloModel as _PM  # noqa
+    plan = pm._segmented_inputs()[0]
+    log(f"forward {n_taxa} taxa x {n_sites}: segmented "
+        f"{dt_seg*1e3:.0f} ms ({len(plan.segments)} dispatches, block "
+        f"{plan.block_sites}) vs per-node {dt_per*1e3:.0f} ms "
+        f"({len(pm.schedule)} dispatches) -> {dt_per/dt_seg:.1f}x")
+
+
+grad_case(160, 1 << 20)
+forward_case(512, 1 << 18)
+try:
+    grad_case(256, 1 << 22)
+except Exception as exc:
+    log(f"256x4M grad: FAILED {type(exc).__name__}: {str(exc)[:160]}")
+
+os.makedirs(os.path.dirname(OUT), exist_ok=True)
+with open(OUT, "w") as f:
+    f.write("\n".join(lines) + "\n")
+print(f"wrote {OUT}")

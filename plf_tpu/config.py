@@ -75,6 +75,11 @@ class PLFConfig:
     backend: Backend = Backend.PALLAS
     interpret: bool = False    # Pallas interpreter mode (the sw_emu analogue)
     dtype: str = "float32"     # "float32" (exact) or "bfloat16" (fast mode)
+    tip_dtype: str = "int32"   # tip state-code storage: "int32" or "int8"
+                               # (codes are the whole-tree kernels' main
+                               # per-site HBM stream — int8 quarters it;
+                               # values fit easily: S + gap + ambiguity
+                               # <= 24 codes even for protein)
     kernel_variant: str = "vpu"  # "vpu" (bit-exact elementwise), "mxu"
                                  # (block-matmul on the systolic array,
                                  # full-fp32 6-pass), "mxu_3x" (bf16x3
@@ -98,6 +103,8 @@ class PLFConfig:
                 f"width), got {self.block_sites}")
         if self.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported dtype {self.dtype!r}")
+        if self.tip_dtype not in ("int32", "int8"):
+            raise ValueError(f"unsupported tip_dtype {self.tip_dtype!r}")
         if self.kernel_variant not in ("vpu", "mxu", "mxu_3x", "mxu_bf16",
                                        "auto"):
             raise ValueError(

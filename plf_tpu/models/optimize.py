@@ -70,14 +70,18 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False,
     ``backend``: "tree" runs the whole traversal (forward AND backward)
     as single fused tree kernels with a checkpointed in-VMEM backward
     (ops/plf_tree_grad.py — VJP residuals are O(E*S^2), not
-    O(E*sites)); "pallas" routes every PLF node through the fused
-    single-node kernel + its custom VJP (ops/plf_grad.py); "xla" uses
-    the element-wise jnp stages.  "auto" on TPU picks pallas — measured
-    ~25% faster per evaluation (the S=4 kernel is compute-bound, so the
-    tree backward's recompute isn't free) — EXCEPT when the per-node
-    VJP's O(E*sites) HBM residuals would not fit
-    (_PERNODE_RESIDUAL_BUDGET), where the tree backend is the only
-    gradient path that scales (benchmarks/treegrad_bench.py).
+    O(E*sites)); "segmented" is its big-tree generalisation
+    (ops/plf_tree_seg.py — the traversal splits into subtree segments,
+    residuals are the O(#segments) boundary CLVs, so it scales to trees
+    whose single-segment arena cannot fit VMEM); "pallas" routes every
+    PLF node through the fused single-node kernel + its custom VJP
+    (ops/plf_grad.py); "xla" uses the element-wise jnp stages.  "auto"
+    on TPU picks pallas — measured ~25% faster per evaluation (the S=4
+    kernel is compute-bound, so the tree backward's recompute isn't
+    free) — EXCEPT when the per-node VJP's O(E*sites) HBM residuals
+    would not fit (_PERNODE_RESIDUAL_BUDGET), where it picks the tree
+    backend, falling back to segmented when even that arena cannot fit
+    (benchmarks/treegrad_bench.py, benchmarks/seg_bench.py).
     """
     if backend == "auto":
         if mesh is not None:
@@ -374,7 +378,7 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
         codes_dev = jnp.concatenate(
             [codes_dev,
              jnp.full((n_leaves, n_pad - codes_dev.shape[-1]), S,
-                      jnp.int32)], axis=-1)
+                      codes_dev.dtype)], axis=-1)
     codes_dev = codes_dev[:, :n_pad]
 
     u = jnp.asarray(model.u, jnp.float32)

@@ -189,6 +189,8 @@ class PhyloModel:
         codes = map_tip_codes(self.tip_states, S)
         codes = L.pad_to_multiple(codes, self.n_pad, axis=-1)
         codes[:, self.n_sites:] = S
+        if cfg.tip_dtype == "int8":
+            codes = codes.astype(np.int8)
         self._codes = jnp.asarray(codes)          # (n_leaves, n_pad)
         wpad = L.pad_to_multiple(self.wgt.reshape(1, -1), self.n_pad,
                                  axis=-1)
@@ -488,7 +490,7 @@ class PhyloModel:
         codes = np.asarray(self._codes)
         if codes.shape[-1] < n_pad:
             pad = np.full((codes.shape[0], n_pad - codes.shape[-1]), S,
-                          np.int32)
+                          codes.dtype)
             codes = np.concatenate([codes, pad], axis=-1)
         wgt = np.zeros((1, n_pad), np.int32)
         wgt[0, :n] = self.wgt

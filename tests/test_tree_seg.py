@@ -139,6 +139,26 @@ def test_segmented_forward_rescaling_case():
                                rtol=1e-6)
 
 
+def test_int8_tip_codes_match_int32():
+    # tip_dtype="int8" quarters the kernels' dominant HBM stream; the
+    # expansion semantics must be identical (codes max out at S+A <= 24)
+    tree = random_tree(12, seed=6)
+    rng = np.random.default_rng(6)
+    tips = rng.integers(0, 4, size=(12, 300))
+    tips[2, ::5] = 4      # IUPAC R rides along
+    pm32 = PhyloModel(tree, hky85(2.0), tips, alpha=0.5,
+                      config=PLFConfig(block_sites=128))
+    pm8 = PhyloModel(tree, hky85(2.0), tips, alpha=0.5,
+                     config=PLFConfig(block_sites=128, tip_dtype="int8"))
+    assert pm8._codes.dtype == jnp.int8
+    for method in ("fused", "segmented", "per-node"):
+        r32 = pm32.log_likelihood(method=method)
+        r8 = pm8.log_likelihood(method=method)
+        assert r8.scaler_total == r32.scaler_total
+        assert r8.log_likelihood == pytest.approx(r32.log_likelihood,
+                                                  rel=1e-9)
+
+
 def test_model_method_segmented_matches_pernode():
     pm = _make_pm(n_leaves=30, n=300, block=128, seed=5)
     res_s = pm.log_likelihood(method="segmented")
