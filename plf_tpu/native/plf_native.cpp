@@ -200,6 +200,115 @@ void transpose_branch(const float* in, float* out, int states,
   }
 }
 
-int plf_native_abi_version() { return 1; }
+// -------------------------------------------------------- tree golden ----
+
+// Whole-tree golden oracle: evaluates the full post-order traversal per
+// site with EXACTLY the device kernels' fp32 op order (sequential
+// accumulation over source state a and eigen index k; tip expansion =
+// direct table lookup; underflow rescale by 2^32 per node).  This is
+// the tree-level analogue of the reference's host-side verification
+// loop (app/src/host_mem.cpp:403-442 recomputes every workload with
+// plf()) for the fused/segmented tree kernels.
+//
+// codes:  (n_leaves, n) int32 tip-table column indices.
+// ttab:   (S, ncode) eigen-coordinate tip table ([a][col]).
+// lsrc/rsrc/oslot: (E,) UNIFIED arena coordinates — slots [0, n_leaves)
+//         are tips, the rest register slots (compile_register_schedule
+//         + n_leaves offset, as in ops/plf_tree_pallas.py).
+// lbr/rbr: (E, C, S, S) branch factors [e][c][k][a].
+// ev:     (S, S) [k][a].   rr: (S*C) root rows, row = a*C + c.
+// lik/sc: (n,) per-site likelihood and rescale counts.
+static void plf_tree_golden_range(
+    const int32_t* codes, long long n, int n_leaves, const float* ttab,
+    int ncode, const int32_t* lsrc, const int32_t* rsrc,
+    const int32_t* oslot, int n_edges, int n_slots, const float* lbr,
+    const float* rbr, const float* ev, const float* rr, int states,
+    int categories, float* lik, int32_t* sc, long long lo, long long hi) {
+  const int S = states, C = categories;
+  const int e_sz = C * S;
+  const float minlik = ldexpf(1.0f, -32);
+  const float two32 = ldexpf(1.0f, 32);
+  std::vector<float> arena((size_t)n_slots * e_sz);
+  std::vector<float> px(S);
+  std::vector<float> out(e_sz);
+  for (long long i = lo; i < hi; ++i) {
+    for (int l = 0; l < n_leaves; ++l) {
+      const int col = codes[(long long)l * n + i];
+      float* slot = arena.data() + (size_t)l * e_sz;
+      for (int c = 0; c < C; ++c)
+        for (int a = 0; a < S; ++a)
+          slot[c * S + a] = ttab[a * ncode + col];
+    }
+    int32_t count = 0;
+    for (int e = 0; e < n_edges; ++e) {
+      const float* x1 = arena.data() + (size_t)lsrc[e] * e_sz;
+      const float* x2 = arena.data() + (size_t)rsrc[e] * e_sz;
+      const float* lb = lbr + (size_t)e * C * S * S;
+      const float* rb = rbr + (size_t)e * C * S * S;
+      for (int c = 0; c < C; ++c) {
+        const float* l = lb + c * S * S;
+        const float* r = rb + c * S * S;
+        for (int k = 0; k < S; ++k) {
+          float u1 = 0.0f, u2 = 0.0f;
+          for (int a = 0; a < S; ++a) {
+            u1 += x1[c * S + a] * l[k * S + a];
+            u2 += x2[c * S + a] * r[k * S + a];
+          }
+          px[k] = u1 * u2;
+        }
+        for (int a = 0; a < S; ++a) out[c * S + a] = 0.0f;
+        for (int k = 0; k < S; ++k)
+          for (int a = 0; a < S; ++a)
+            out[c * S + a] += px[k] * ev[k * S + a];
+      }
+      int scale = 1;
+      for (int j = 0; scale && j < e_sz; ++j)
+        scale = (fabsf(out[j]) < minlik);
+      if (scale) {
+        for (int j = 0; j < e_sz; ++j) out[j] *= two32;
+        ++count;
+      }
+      std::memcpy(arena.data() + (size_t)oslot[e] * e_sz, out.data(),
+                  sizeof(float) * e_sz);
+    }
+    const float* root = arena.data() + (size_t)oslot[n_edges - 1] * e_sz;
+    float acc = 0.0f;  // row order a*C + c, sequential (kernel order)
+    for (int a = 0; a < S; ++a)
+      for (int c = 0; c < C; ++c)
+        acc += rr[a * C + c] * root[c * S + a];
+    lik[i] = acc;
+    sc[i] = count;
+  }
+}
+
+void plf_tree_golden_mt(const int32_t* codes, long long n, int n_leaves,
+                        const float* ttab, int ncode, const int32_t* lsrc,
+                        const int32_t* rsrc, const int32_t* oslot,
+                        int n_edges, int n_slots, const float* lbr,
+                        const float* rbr, const float* ev, const float* rr,
+                        int states, int categories, float* lik,
+                        int32_t* sc, int num_threads) {
+  if (num_threads <= 1 || n < 1024) {
+    plf_tree_golden_range(codes, n, n_leaves, ttab, ncode, lsrc, rsrc,
+                          oslot, n_edges, n_slots, lbr, rbr, ev, rr,
+                          states, categories, lik, sc, 0, n);
+    return;
+  }
+  std::vector<std::thread> threads;
+  long long chunk = (n + num_threads - 1) / num_threads;
+  for (int t = 0; t < num_threads; ++t) {
+    long long lo = t * chunk;
+    long long hi = lo + chunk < n ? lo + chunk : n;
+    if (lo >= hi) break;
+    threads.emplace_back([=]() {
+      plf_tree_golden_range(codes, n, n_leaves, ttab, ncode, lsrc, rsrc,
+                            oslot, n_edges, n_slots, lbr, rbr, ev, rr,
+                            states, categories, lik, sc, lo, hi);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+int plf_native_abi_version() { return 2; }
 
 }  // extern "C"

@@ -135,3 +135,57 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(back["clv_root"], arrays["clv_root"])
     assert int(back["scaler"]) == 42
     assert meta["n_sites"] == 100
+
+
+def test_tree_golden_oracle_matches_kernels():
+    """Native whole-tree golden oracle == the tree kernels' per-site
+    likelihood + rescale counts (the host-recompute verification of
+    host_mem.cpp:403-442 at tree level)."""
+    from plf_tpu.config import PLFConfig
+    from plf_tpu.models import PhyloModel, hky85, random_tree
+    from plf_tpu.runtime.native import (plf_tree_golden_native,
+                                        tree_golden_for_model,
+                                        native_available)
+
+    n_leaves, n = 14, 300
+    tree = random_tree(n_leaves, seed=2)
+    rng = np.random.default_rng(2)
+    tips = rng.integers(0, 4, size=(n_leaves, n))
+    tips[3, ::6] = 4      # IUPAC R
+    tips[5, 1::7] = -1    # gap
+    pm = PhyloModel(tree, hky85(2.0), tips, alpha=0.5,
+                    config=PLFConfig(block_sites=128))
+    lik, sc = tree_golden_for_model(pm)
+    res = pm.log_likelihood(method="per-node")
+    np.testing.assert_array_equal(sc[:n], np.asarray(res.scaler_sites))
+    np.testing.assert_allclose(np.log(lik.astype(np.float64)),
+                               res.site_log_likelihood, rtol=1e-6)
+    res_f = pm.log_likelihood(method="fused")
+    np.testing.assert_array_equal(sc[:n],
+                                  np.asarray(res_f.scaler_sites))
+
+
+def test_tree_golden_native_equals_numpy_fallback():
+    from plf_tpu.models import PhyloModel, hky85, random_tree
+    from plf_tpu.config import PLFConfig
+    from plf_tpu.runtime import native as nat
+
+    if not nat.native_available():
+        pytest.skip("no native toolchain")
+    n_leaves, n = 10, 200
+    tree = random_tree(n_leaves, seed=4)
+    tips = np.random.default_rng(4).integers(0, 4, size=(n_leaves, n))
+    pm = PhyloModel(tree, hky85(2.0), tips, alpha=0.5,
+                    config=PLFConfig(block_sites=128))
+    lik_c, sc_c = nat.tree_golden_for_model(pm)
+    # force the numpy fallback path
+    lib, nat._lib = nat._lib, None
+    orig = nat.load_native
+    try:
+        nat.load_native = lambda: None
+        lik_np, sc_np = nat.tree_golden_for_model(pm)
+    finally:
+        nat.load_native = orig
+        nat._lib = lib
+    np.testing.assert_array_equal(sc_c, sc_np)
+    np.testing.assert_array_equal(lik_c, lik_np)

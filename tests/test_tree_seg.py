@@ -229,6 +229,24 @@ def test_segmented_underflow_grads():
     np.testing.assert_allclose(g_s, g_x, rtol=5e-4, atol=1e-4)
 
 
+def test_segmented_sharded_grads_match():
+    # segmented VJP under shard_map (sites axis over 4 devices): the
+    # boundary-CLV chaining runs per shard; operand cotangents psum via
+    # the shard_map transpose
+    from plf_tpu.parallel.sharding import make_mesh
+
+    pm = _make_pm(n_leaves=12, n=300, block=128, seed=8)
+    mesh = make_mesh(4)
+    fn_m, t0 = tree_loglik_fn(pm, backend="segmented", mesh=mesh)
+    fn_s, _ = tree_loglik_fn(pm, backend="segmented")
+    t = jnp.asarray(t0)
+    v_m, g_m = jax.value_and_grad(fn_m)(t)
+    v_s, g_s = jax.value_and_grad(fn_s)(t)
+    assert float(v_m) == pytest.approx(float(v_s), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_s),
+                               rtol=1e-4, atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # Big-tree schedule machinery (recursion fix)
 # ---------------------------------------------------------------------------
