@@ -50,8 +50,17 @@ MATRIX = [
 
 
 def accuracy_vs_vpu(S, variant, block, n=1 << 16, C=4):
-    """Max |rel err| of the variant vs the bit-exact VPU form on device,
-    plus exact scaler-count agreement, on underflow-exercising inputs."""
+    """Max |rel err| of the variant vs the exact form on device, plus
+    exact scaler-count agreement, on underflow-exercising inputs.
+
+    Runs at a fixed small block (1024) regardless of the perf block —
+    the probe measures arithmetic, not layout.  Reference: the
+    bit-exact VPU form for S<=20; for S=61 the VPU unroll does not
+    compile (Mosaic scoped-vmem), so the reference is the MXU HIGHEST
+    form (<=1 ULP vs scalar, hardware-verified in hw_verify's codon
+    check)."""
+    block = 1024
+    ref_variant = "vpu" if S <= 20 else "mxu"
     from plf_tpu.ops import layout as L
     from plf_tpu.ops.plf_pallas import plf_pallas_lane_major
     rng = np.random.default_rng(5)
@@ -83,7 +92,7 @@ def accuracy_vs_vpu(S, variant, block, n=1 << 16, C=4):
         return np.asarray(x3[:, :n], np.float64), int(np.asarray(
             jnp.sum(sc[0, :n])))
 
-    ref, sc_ref = run("vpu")
+    ref, sc_ref = run(ref_variant)
     got, sc_got = run(variant)
     denom = np.maximum(np.abs(ref), 1e-30)
     relerr = float(np.max(np.abs(got - ref) / denom))

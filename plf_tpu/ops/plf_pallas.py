@@ -122,23 +122,45 @@ def _plf_kernel(n_ref, x1_ref, x2_ref, lc_ref, rc_ref, ec_ref,
 
 #: MXU variant -> matmul precision.  On TPU the levels map to MXU pass
 #: counts over bf16-decomposed fp32 operands: HIGHEST = 6 passes (full
-#: fp32, <=1 ULP vs the scalar reference), HIGH = 3 passes (bf16x3,
-#: ~fp32-grade), DEFAULT = 1 pass (bf16 operands, fp32 accumulation).
-#: The PLF at S>=20 is MXU-COMPUTE-bound (measured ~30 TFLOP/s fp32 at
-#: S=61), so fewer passes buy near-proportional throughput — the same
-#: optimisation ladder the reference walked on its fused AIE kernel
+#: fp32, <=1 ULP vs the scalar reference), "mxu_3x" = 3 passes (manual
+#: bf16x3 split below — Mosaic rejects Precision.HIGH inside kernels,
+#: "Unsupported dot precision: HIGH" on v5e), DEFAULT = 1 pass (bf16
+#: operands, fp32 accumulation).  The PLF at S>=20 is MXU-COMPUTE-bound
+#: (measured ~30 TFLOP/s fp32 at S=61), so fewer passes buy
+#: near-proportional throughput — the same optimisation ladder the
+#: reference walked on its fused AIE kernel
 #: (aie/src/128x1PLFwindow2in/kernels/combine_and_mac_EV.cpp:8,45,78).
 MXU_PRECISION = {
     "mxu": jax.lax.Precision.HIGHEST,
-    "mxu_3x": jax.lax.Precision.HIGH,
+    "mxu_3x": jax.lax.Precision.DEFAULT,   # passes live in _dot_bf16x3
     "mxu_bf16": jax.lax.Precision.DEFAULT,
 }
+
+
+def _dot_bf16x3(m, x):
+    """3-pass bf16 matmul: hi*hi + hi*lo + lo*hi, fp32 accumulation.
+
+    The classic bf16x3 fp32 emulation (what Precision.HIGH lowers to in
+    XLA proper): each fp32 operand splits into a bf16 high part and a
+    bf16 residual; the lo*lo term (~2^-32 relative) is dropped.  Mosaic
+    cannot lower Precision.HIGH itself, so the split is explicit.
+    ~1e-5 relative accuracy at 3 MXU passes instead of HIGHEST's 6.
+    """
+    d = functools.partial(jax.lax.dot,
+                          precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=jnp.float32)
+    m_hi = m.astype(jnp.bfloat16)
+    m_lo = (m - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    x_hi = x.astype(jnp.bfloat16)
+    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return d(m_hi, x_hi) + (d(m_hi, x_lo) + d(m_lo, x_hi))
 
 
 def _plf_kernel_mxu(n_ref, x1_ref, x2_ref, ml_ref, mr_ref, me_ref,
                     x3_ref, sc_ref, *, states: int, categories: int,
                     block_sites: int,
-                    precision=jax.lax.Precision.HIGHEST):
+                    precision=jax.lax.Precision.HIGHEST,
+                    three_pass: bool = False):
     """MXU variant: the three PLF stages as (rows, rows) @ (rows, BS)
     matmuls against block-structured operators
     (layout.branch_to_block_matrix) on the systolic array.  Measured on
@@ -152,14 +174,15 @@ def _plf_kernel_mxu(n_ref, x1_ref, x2_ref, ml_ref, mr_ref, me_ref,
     BS = block_sites
     x1 = x1_ref[...].astype(jnp.float32)
     x2 = x2_ref[...].astype(jnp.float32)
-    hi = precision
-    ump1 = jax.lax.dot(ml_ref[...], x1, precision=hi,
-                       preferred_element_type=jnp.float32)
-    ump2 = jax.lax.dot(mr_ref[...], x2, precision=hi,
-                       preferred_element_type=jnp.float32)
+    if three_pass:
+        dot = _dot_bf16x3
+    else:
+        dot = functools.partial(jax.lax.dot, precision=precision,
+                                preferred_element_type=jnp.float32)
+    ump1 = dot(ml_ref[...], x1)
+    ump2 = dot(mr_ref[...], x2)
     p = ump1 * ump2
-    x3 = jax.lax.dot(me_ref[...], p, precision=hi,
-                     preferred_element_type=jnp.float32)
+    x3 = dot(me_ref[...], p)
     mask = (jnp.max(jnp.abs(x3), axis=0, keepdims=True) < MIN_LIKELIHOOD)
     site0 = pl.program_id(0) * BS
     idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
@@ -221,7 +244,8 @@ def plf_pallas_lane_major(x1, x2, lc, rc, ec, n, *, states: int = 4,
     if is_mxu:
         kernel = functools.partial(_plf_kernel_mxu, states=S, categories=C,
                                    block_sites=block_sites,
-                                   precision=MXU_PRECISION[variant])
+                                   precision=MXU_PRECISION[variant],
+                                   three_pass=(variant == "mxu_3x"))
     else:
         kernel = functools.partial(_plf_kernel, states=S, categories=C,
                                    block_sites=block_sites)

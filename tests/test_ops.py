@@ -270,9 +270,14 @@ def test_pallas_mxu_protein():
 
 @pytest.mark.parametrize("variant", ["mxu_3x", "mxu_bf16"])
 def test_mxu_reduced_precision_variants_run(variant):
-    """Plumbing check for the reduced-pass MXU variants (accuracy and
-    speed are measured on hardware — benchmarks/protein_tuning; on CPU
-    interpret mode all precisions execute as fp32)."""
+    """Reduced-pass MXU variants vs the exact VPU form.
+
+    mxu_3x's bf16x3 split (plf_pallas._dot_bf16x3) performs its bf16
+    casts explicitly, so even interpret mode exercises the real
+    decomposition -> assert the fp32-grade (~1e-5 rel) bound.  mxu_bf16
+    relies on Precision.DEFAULT, which interpret mode executes as fp32
+    (its true ~4e-3 drift is measured on hardware,
+    benchmarks/protein_tune3.py -> r03_protein.csv)."""
     from plf_tpu.ops.plf_pallas import plf_pallas
     import jax.numpy as jnp
 
@@ -290,6 +295,7 @@ def test_mxu_reduced_precision_variants_run(variant):
     x3m, scm, incm = plf_pallas(x1, x2, left, right, ev, wgt, states=S,
                                 categories=C, block_sites=128,
                                 interpret=True, variant=variant)
+    rtol = 1e-4 if variant == "mxu_3x" else 2e-2
     np.testing.assert_allclose(np.asarray(x3m), np.asarray(x3v),
-                               rtol=2e-2, atol=1e-4)
+                               rtol=rtol, atol=1e-4)
     assert int(incm) == int(incv)
