@@ -54,30 +54,39 @@ def slope(make_chain, t0, k_lo=1, k_hi=4, reps=3):
     return (run(f_hi) - run(f_lo)) / (k_hi - k_lo)
 
 
-def grad_case(n_taxa, n_sites, block=4096):
+def grad_case(n_taxa, n_sites, block=4096, reps=4, tip_dtype="int32"):
     tree = random_tree(n_taxa, seed=3)
     aln = np.random.default_rng(7).integers(
         0, 4, size=(n_taxa, n_sites)).astype(np.int32)
     pm = PhyloModel(tree, hky85(2.0), aln, alpha=0.7,
-                    config=PLFConfig(block_sites=block))
+                    config=PLFConfig(block_sites=block,
+                                     tip_dtype=tip_dtype))
     fn, t0 = tree_loglik_fn(pm, backend="segmented")
     t0j = jnp.asarray(t0)
 
-    def vjp_chain(t, k):
-        acc = jnp.float32(0)
-        for _ in range(k):
-            v, g = jax.value_and_grad(fn)(t + acc * 1e-30)
-            acc = acc + v + jnp.sum(g) * 1e-30
-        return acc
-
-    dt = slope(vjp_chain, t0j)
+    # Single value_and_grad, timed directly.  NO outer jit: the inner
+    # likelihood is already jitted with the (n_leaves, n_pad) tip codes
+    # as an ARGUMENT; an outer jit would close over them and embed
+    # 100s of MB as an HLO constant, which hangs the remote compiler
+    # (the codes-as-argument rule, optimize.py:497-502).  A K-unrolled
+    # chained-slope protocol has the same problem plus K-fold tracing;
+    # at this size one eval is ~100s of ms, so the ~2 ms/dispatch
+    # tunnel overhead is a few % and slope cancellation isn't worth it.
+    ev = jax.value_and_grad(fn)
+    v, g = ev(t0j)
+    float(np.asarray(v))                      # compile + warm
+    t_start = time.perf_counter()
+    for _ in range(reps):
+        v, g = ev(t0j)
+        acc = float(np.asarray(v)) + float(np.asarray(jnp.sum(g)))
+    dt = (time.perf_counter() - t_start) / reps
     e = len(pm.schedule)
     nsps = e * n_sites / dt
     log(f"segmented grad {n_taxa} taxa x {n_sites} sites: "
         f"{dt*1e3:.1f} ms/eval, {nsps/1e9:.2f} G node-sites/s "
-        f"(E={e})")
+        f"(E={e}; incl. per-dispatch tunnel overhead)")
     # sanity: gradient finite and ll matches forward evaluation
-    v, g = jax.value_and_grad(fn)(t0j)
+    v, g = ev(t0j)
     assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
     ref = pm.log_likelihood(method="segmented").log_likelihood
     assert abs(float(v) - ref) < 1e-5 * abs(ref) + 1e-6, (float(v), ref)
@@ -114,7 +123,9 @@ def forward_case(n_taxa, n_sites, block=4096):
 grad_case(160, 1 << 20)
 forward_case(512, 1 << 18)
 try:
-    grad_case(256, 1 << 22)
+    # int8 tip codes (bit-identical, hardware-validated in tpu_ci):
+    # 256 taxa x 4M sites carries 1 GB of codes instead of 4 GB.
+    grad_case(256, 1 << 22, tip_dtype="int8")
 except Exception as exc:
     log(f"256x4M grad: FAILED {type(exc).__name__}: {str(exc)[:160]}")
 

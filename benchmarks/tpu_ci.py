@@ -120,6 +120,30 @@ def run_segmented():
           flush=True)
     assert rel < 1e-5 and grel < 1e-3
 
+    # int8 tip-code storage must be BIT-IDENTICAL to int32 on real
+    # Mosaic (the codes only feed integer == compares in _expand_tip —
+    # widened in-register, plf_tree_pallas.py — so dtype changes the
+    # HBM stream, not the arithmetic).  Segmented path on the big tree;
+    # fused static kernel on a small one (96 taxa exceed its VMEM arena).
+    pm8 = PhyloModel(tree, hky85(2.0), aln, alpha=0.7,
+                     config=PLFConfig(block_sites=4096, tip_dtype="int8"))
+    r8 = pm8.log_likelihood(method="segmented")
+    assert r8.scaler_total == res_s.scaler_total
+    np.testing.assert_array_equal(np.asarray(r8.site_log_likelihood),
+                                  np.asarray(res_s.site_log_likelihood))
+    tree_s = random_tree(24, seed=5)
+    aln_s = aln[:24]
+    rf = {}
+    for td in ("int32", "int8"):
+        pm_s = PhyloModel(tree_s, hky85(2.0), aln_s, alpha=0.7,
+                          config=PLFConfig(block_sites=4096, tip_dtype=td))
+        rf[td] = pm_s.log_likelihood(method="fused")
+    assert rf["int8"].scaler_total == rf["int32"].scaler_total
+    np.testing.assert_array_equal(
+        np.asarray(rf["int8"].site_log_likelihood),
+        np.asarray(rf["int32"].site_log_likelihood))
+    print("int8 tip codes: bit-identical (fused + segmented)", flush=True)
+
 
 def run_bench():
     import bench

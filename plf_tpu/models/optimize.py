@@ -85,7 +85,9 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False,
     """
     if backend == "auto":
         if mesh is not None:
-            backend = "tree"
+            # sharded: whole-tree VJP when its arena fits, else the
+            # segmented VJP (both are shard-local kernels under shard_map)
+            backend = "tree" if _tree_backend_block(pm) else "segmented"
         elif jax.default_backend() == "tpu":
             resid = 3 * len(pm.schedule) * pm.config.rows * pm.n_pad * 4
             if resid <= _PERNODE_RESIDUAL_BUDGET:
@@ -510,7 +512,11 @@ def optimize_branch_lengths(pm: PhyloModel, steps: int = 100,
     # constants hang the remote compiler on big alignments (the inner
     # likelihood fn is already jitted with codes as an argument, so the
     # un-jitted step only adds eager optax math on ~E scalars per step).
-    if pm.n_pad * pm.config.rows * 4 <= (1 << 28):
+    # Budget BOTH the CLV working set and the embedded codes matrix
+    # (n_leaves x n_pad — the term that dominates at high taxon counts).
+    embedded = (pm.n_pad * pm.config.rows * 4
+                + pm.tree.n_leaves * pm.n_pad * 4)
+    if embedded <= (1 << 28):
         step = jax.jit(step)
 
     for _ in range(steps):

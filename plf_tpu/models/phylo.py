@@ -367,11 +367,19 @@ class PhyloModel:
         sched, lcs, rcs, ttab = self._fused_inputs()
         interpret = cfg.interpret or (jax.default_backend() != "tpu")
         if len(sched) <= self.FUSED_UNROLL_MAX_NODES:
+            # static unrolled kernel: auto-shrink the site block so the
+            # (depth+2)-slot live stack fits VMEM (mirrors the dynamic
+            # kernel's arena fit; a forced method="fused" then degrades
+            # to a smaller block instead of a Mosaic scoped-vmem OOM)
+            from ..ops.plf_tree_pallas import fit_block_sites
+            depth = schedule_depth(sched, self.tree.n_leaves)
+            bs = fit_block_sites(depth + 2, cfg.rows, cfg.block_sites,
+                                 8 * 2 ** 20) or 128
             lik, sc = plf_tree_pallas(
                 self._codes, sched, lcs, rcs, self._ec, ttab,
                 self._root_rows, self.n_sites,
                 n_leaves=self.tree.n_leaves, states=cfg.states,
-                categories=cfg.categories, block_sites=cfg.block_sites,
+                categories=cfg.categories, block_sites=bs,
                 interpret=interpret, max_live=self.FUSED_MAX_LIVE,
                 variant=cfg.resolved_kernel_variant)
         else:

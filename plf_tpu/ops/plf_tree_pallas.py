@@ -131,7 +131,13 @@ def _expand_tip(code_row, ttab_ref, states: int = None):
     Exact: sum of one matched table column and zeros (0*x == 0, 0+v == v
     for the finite table values).  The column count (plain states + gap
     + IUPAC partial-ambiguity codes) comes from the table width.
+
+    Codes may be stored int8 (config.tip_dtype) to quarter the HBM
+    stream; Mosaic has no int8 vector compare ("Target does not support
+    this comparison"), so widen in-register before the ==.
     """
+    if code_row.dtype != jnp.int32:
+        code_row = code_row.astype(jnp.int32)
     acc = None
     for s in range(ttab_ref.shape[-1]):
         m = (code_row == s).astype(jnp.float32)          # (1, BS)

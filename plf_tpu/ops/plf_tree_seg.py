@@ -373,37 +373,102 @@ def _segment_device_arrays(seg: Segment):
                   np.asarray([seg.root_slot], np.int32)))
 
 
-def _run_forward(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
-                 states, categories, interpret):
-    """Chain the per-segment dispatches; returns (lik, sc, boundaries)."""
+def _stacked_plan(plan: SegPlan):
+    """Stack the per-segment schedule arrays (host, cached per plan).
+
+    The segments all share the plan's padded uniform shape, so the whole
+    chain lowers to ONE ``lax.scan`` over these stacked arrays — trace
+    and compile cost is O(1) in tree size (one kernel + one scan body),
+    where a Python loop over segments re-traces every segment into the
+    jaxpr (minutes of tracing at a few hundred taxa).
+
+    Boundary CLVs live in an HBM buffer of ``n_boundaries + 1`` rows;
+    row ``n_boundaries`` is a trash row that padded boundary reads and
+    writes target (each real boundary is written exactly once and
+    consumed exactly once, see the module docstring invariant).
+    """
+    cached = getattr(plan, "_stacked_cache", None)
+    if cached is not None:
+        return cached
+    trash = plan.n_boundaries
+    segs = plan.segments
+
+    def stk(get):
+        return np.stack([get(s) for s in segs]).astype(np.int32)
+
+    lane = np.arange(plan.seg_bnd)
+    lane_out = np.arange(plan.seg_out)
+    last = np.zeros(len(segs), np.float32)
+    last[-1] = 1.0
+    out = dict(
+        tip_ids=stk(lambda s: s.tip_ids),
+        bnd_idx=stk(lambda s: np.where(lane < s.n_bnd_in,
+                                       s.bnd_in_ids, trash)),
+        lsrc=stk(lambda s: s.lsrc),
+        rsrc=stk(lambda s: s.rsrc),
+        ovalid=stk(lambda s: s.ovalid),
+        opos=stk(lambda s: s.opos),
+        oslots=stk(lambda s: s.out_slots),
+        gout_idx=stk(lambda s: np.where(lane_out < s.n_bnd_out,
+                                        s.bnd_out_ids, trash)),
+        rslot=stk(lambda s: np.asarray([s.root_slot])),
+        last=last,
+    )
+    object.__setattr__(plan, "_stacked_cache", out)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_boundaries", "seg_tips", "seg_bnd", "seg_ops",
+                     "seg_out", "states", "categories", "block_sites",
+                     "interpret"))
+def _seg_scan_fwd(xs, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
+                  n_boundaries, seg_tips, seg_bnd, seg_ops, seg_out,
+                  states, categories, block_sites, interpret):
+    """One lax.scan over the stacked segments (module-level jit so the
+    eager path caches its compile across calls — a per-call scan-body
+    closure would re-trace every evaluation)."""
     rows = states * categories
     n_pad = codes3.shape[-1]
-    bnd: Dict[int, jax.Array] = {}
-    zeros_bnd = None
-    lik = None
-    sc_total = jnp.zeros((1, n_pad), jnp.int32)
-    for seg in plan.segments:
-        codes_seg = jnp.take(codes3, jnp.asarray(seg.tip_ids), axis=0)
-        if seg.n_bnd_in or plan.seg_bnd:
-            parts = [bnd[int(g)] for g in seg.bnd_in_ids[:seg.n_bnd_in]]
-            n_fill = plan.seg_bnd - seg.n_bnd_in
-            if n_fill:
-                if zeros_bnd is None:
-                    zeros_bnd = jnp.zeros((rows, n_pad), jnp.float32)
-                parts.extend([zeros_bnd] * n_fill)
-            bnd_in = jnp.stack(parts)
-        lcs_seg = jnp.take(lcs3, jnp.asarray(seg.opos), axis=0)
-        rcs_seg = jnp.take(rcs3, jnp.asarray(seg.opos), axis=0)
+    bbuf0 = jnp.zeros((n_boundaries + 1, rows, n_pad), jnp.float32)
+    sc0 = jnp.zeros((1, n_pad), jnp.int32)
+
+    def body(carry, x):
+        bbuf, sc_tot = carry
+        codes_seg = jnp.take(codes3, x["tip_ids"], axis=0)
+        bnd_in = jnp.take(bbuf, x["bnd_idx"], axis=0)
+        lcs_seg = jnp.take(lcs3, x["opos"], axis=0)
+        rcs_seg = jnp.take(rcs3, x["opos"], axis=0)
         bout, lik, sc = _seg_fwd_call(
-            _segment_device_arrays(seg), codes_seg, bnd_in, lcs_seg,
-            rcs_seg, ec, ttab, rr, n, seg_tips=plan.seg_tips,
-            seg_bnd=plan.seg_bnd, seg_ops=plan.seg_ops,
-            seg_out=plan.seg_out, states=states, categories=categories,
-            block_sites=plan.block_sites, interpret=interpret)
-        sc_total = sc_total + sc
-        for k in range(seg.n_bnd_out):
-            bnd[int(seg.bnd_out_ids[k])] = bout[k]
-    return lik, sc_total, bnd
+            (x["lsrc"], x["rsrc"], x["ovalid"], x["oslots"], x["rslot"]),
+            codes_seg, bnd_in, lcs_seg, rcs_seg, ec, ttab, rr, n,
+            seg_tips=seg_tips, seg_bnd=seg_bnd, seg_ops=seg_ops,
+            seg_out=seg_out, states=states, categories=categories,
+            block_sites=block_sites, interpret=interpret)
+        bbuf = bbuf.at[x["gout_idx"]].set(bout)
+        return (bbuf, sc_tot + sc), lik
+
+    (bbuf, sc_total), liks = jax.lax.scan(body, (bbuf0, sc0), xs)
+    return liks[-1], sc_total, bbuf
+
+
+def _run_forward(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
+                 states, categories, interpret):
+    """Scan the per-segment dispatches; returns (lik, sc, bnd_buffer).
+
+    ``bnd_buffer``: (n_boundaries+1, rows, n_pad) — every boundary CLV
+    (row B is the padding trash row).  One lax.scan, one compiled
+    kernel, O(#segments) sequential dispatches on device.
+    """
+    st = _stacked_plan(plan)
+    xs = {k: jnp.asarray(v) for k, v in st.items()}
+    return _seg_scan_fwd(
+        xs, codes3, lcs3, rcs3, ec, ttab, rr, n,
+        n_boundaries=plan.n_boundaries, seg_tips=plan.seg_tips,
+        seg_bnd=plan.seg_bnd, seg_ops=plan.seg_ops,
+        seg_out=plan.seg_out, states=states, categories=categories,
+        block_sites=plan.block_sites, interpret=interpret)
 
 
 def plf_tree_segmented(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n,
@@ -460,6 +525,19 @@ def _seg_bwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
         return 0
 
     jax.lax.fori_loop(0, seg_bnd, preload_bnd, 0)
+
+    # Padding ops self-reference their own arena slot; zero it so their
+    # whole adjoint chain is EXACTLY zero (uninitialised VMEM can hold
+    # NaN bit patterns, and the reverse-scan caller scatter-adds every
+    # gl/gr row — padded rows land on edge 0 and must be 0, not NaN*0).
+    def zero_pad_slot(i, _):
+        @pl.when(ovalid_ref[i] == 0)
+        def _():
+            arena_ref[seg_tips + seg_bnd + i] = jnp.zeros(
+                (rows, BS), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, seg_ops, zero_pad_slot, 0)
 
     # ---- phase 1: forward recompute, every op CLV checkpointed ----------
     def fwd_body(i, _):
@@ -598,6 +676,63 @@ def _seg_bwd_call(seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, lcsT_seg,
     return gl, gr, gec, grrT, gbnd
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_boundaries", "seg_tips", "seg_bnd", "seg_ops",
+                     "seg_out", "states", "categories", "block_sites",
+                     "interpret"))
+def _seg_scan_bwd(xs, codes3, lcs3, rcs3, ec, ttab, rr, n, bbuf, glik, *,
+                  n_boundaries, seg_tips, seg_bnd, seg_ops, seg_out,
+                  states, categories, block_sites, interpret):
+    """Reverse lax.scan over the stacked segments: the adjoint buffer
+    gbuf mirrors the forward's boundary buffer (consumers run before
+    producers in reverse order, so a segment's boundary-output adjoints
+    are already in gbuf when it executes).  One trace/compile
+    regardless of segment count, like the forward scan."""
+    S, C = states, categories
+    rows = S * C
+    n_pad = codes3.shape[-1]
+    tT = functools.partial(transpose_lane_constants,
+                           states=S, categories=C)
+    ecT = tT(ec)
+    rrT = jnp.transpose(rr)
+    carry0 = (
+        jnp.zeros((n_boundaries + 1, rows, n_pad), jnp.float32),
+        jnp.zeros_like(lcs3), jnp.zeros_like(rcs3),
+        jnp.zeros_like(ec), jnp.zeros((rows, 1), jnp.float32))
+
+    def body(carry, x):
+        gbuf, gl_tot, gr_tot, gec_tot, grrT_tot = carry
+        codes_seg = jnp.take(codes3, x["tip_ids"], axis=0)
+        bnd_in = jnp.take(bbuf, x["bnd_idx"], axis=0)
+        gbout = jnp.take(gbuf, x["gout_idx"], axis=0)
+        lcs_seg = jnp.take(lcs3, x["opos"], axis=0)
+        rcs_seg = jnp.take(rcs3, x["opos"], axis=0)
+        lcsT_seg = jax.vmap(tT)(lcs_seg)
+        rcsT_seg = jax.vmap(tT)(rcs_seg)
+        gs = glik * x["last"]     # root adjoint only on final segment
+        gl, gr, gec, grrT, gbnd = _seg_bwd_call(
+            (x["lsrc"], x["rsrc"], x["ovalid"], x["oslots"],
+             x["rslot"]), codes_seg, bnd_in, lcs_seg, rcs_seg,
+            lcsT_seg, rcsT_seg, ec, ecT, ttab, rrT, gs, gbout, n,
+            seg_tips=seg_tips, seg_bnd=seg_bnd, seg_ops=seg_ops,
+            seg_out=seg_out, states=S, categories=C,
+            block_sites=block_sites, interpret=interpret)
+        # padded ops produce exactly-zero gl/gr rows (ovalid gates the
+        # kernel's adjoint seed, and their arena slots are zero-
+        # initialised), so scatter-adding them at padding position 0 is
+        # a no-op.
+        gl_tot = gl_tot.at[x["opos"]].add(gl)
+        gr_tot = gr_tot.at[x["opos"]].add(gr)
+        gbuf = gbuf.at[x["bnd_idx"]].set(gbnd)
+        return (gbuf, gl_tot, gr_tot, gec_tot + gec,
+                grrT_tot + grrT), None
+
+    (_, gl_tot, gr_tot, gec_tot, grrT_tot), _ = jax.lax.scan(
+        body, carry0, xs, reverse=True)
+    return gl_tot, gr_tot, gec_tot, grrT_tot
+
+
 def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
                              states: int = 4, categories: int = 4,
                              block_sites: int = 1024,
@@ -631,57 +766,20 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
         return lik, sc
 
     def fwd(codes3, lcs3, rcs3, ec, ttab, rr, n):
-        lik, sc, bnd = fwd_run(codes3, lcs3, rcs3, ec, ttab, rr, n)
-        bnd_flat = tuple(bnd[g] for g in range(plan.n_boundaries))
-        return (lik, sc), (codes3, lcs3, rcs3, ec, ttab, rr, n, bnd_flat)
+        lik, sc, bbuf = fwd_run(codes3, lcs3, rcs3, ec, ttab, rr, n)
+        return (lik, sc), (codes3, lcs3, rcs3, ec, ttab, rr, n, bbuf)
 
     def bwd(res, cts):
         glik, _ = cts
-        codes3, lcs3, rcs3, ec, ttab, rr, n, bnd_flat = res
-        n_pad = codes3.shape[-1]
-        tT = functools.partial(transpose_lane_constants,
-                               states=S, categories=C)
-        ecT = tT(ec)
-        rrT = jnp.transpose(rr)
-        zero_blk = jnp.zeros((rows, n_pad), jnp.float32)
-        zero_lik = jnp.zeros((1, n_pad), jnp.float32)
-        g_bnd: Dict[int, jax.Array] = {}
-        gl_tot = jnp.zeros_like(lcs3)
-        gr_tot = jnp.zeros_like(rcs3)
-        gec_tot = jnp.zeros_like(ec)
-        grrT_tot = jnp.zeros((rows, 1), jnp.float32)
-        last = len(plan.segments) - 1
-        for si in range(last, -1, -1):
-            seg = plan.segments[si]
-            codes_seg = jnp.take(codes3, jnp.asarray(seg.tip_ids), axis=0)
-            parts = [bnd_flat[int(g)]
-                     for g in seg.bnd_in_ids[:seg.n_bnd_in]]
-            parts.extend([zero_blk] * (plan.seg_bnd - seg.n_bnd_in))
-            bnd_in = jnp.stack(parts)
-            gparts = [g_bnd[int(g)]
-                      for g in seg.bnd_out_ids[:seg.n_bnd_out]]
-            gparts.extend([zero_blk] * (plan.seg_out - seg.n_bnd_out))
-            gbout = jnp.stack(gparts)
-            idxs = jnp.asarray(seg.opos)
-            lcs_seg = jnp.take(lcs3, idxs, axis=0)
-            rcs_seg = jnp.take(rcs3, idxs, axis=0)
-            lcsT_seg = jax.vmap(tT)(lcs_seg)
-            rcsT_seg = jax.vmap(tT)(rcs_seg)
-            gs = glik if si == last else zero_lik
-            gl, gr, gec, grrT, gbnd = _seg_bwd_call(
-                _segment_device_arrays(seg), codes_seg, bnd_in, lcs_seg,
-                rcs_seg, lcsT_seg, rcsT_seg, ec, ecT, ttab, rrT, gs,
-                gbout, n, seg_tips=plan.seg_tips, seg_bnd=plan.seg_bnd,
-                seg_ops=plan.seg_ops, seg_out=plan.seg_out, states=S,
-                categories=C, block_sites=plan.block_sites,
-                interpret=interpret)
-            k = seg.n_ops
-            gl_tot = gl_tot.at[idxs[:k]].add(gl[:k])
-            gr_tot = gr_tot.at[idxs[:k]].add(gr[:k])
-            gec_tot = gec_tot + gec
-            grrT_tot = grrT_tot + grrT
-            for b in range(seg.n_bnd_in):
-                g_bnd[int(seg.bnd_in_ids[b])] = gbnd[b]
+        codes3, lcs3, rcs3, ec, ttab, rr, n, bbuf = res
+        st = _stacked_plan(plan)
+        xs = {k: jnp.asarray(v) for k, v in st.items()}
+        gl_tot, gr_tot, gec_tot, grrT_tot = _seg_scan_bwd(
+            xs, codes3, lcs3, rcs3, ec, ttab, rr, n, bbuf, glik,
+            n_boundaries=plan.n_boundaries, seg_tips=plan.seg_tips,
+            seg_bnd=plan.seg_bnd, seg_ops=plan.seg_ops,
+            seg_out=plan.seg_out, states=S, categories=C,
+            block_sites=plan.block_sites, interpret=interpret)
         return (None, gl_tot, gr_tot, gec_tot, jnp.zeros_like(ttab),
                 jnp.transpose(grrT_tot), None)
 
