@@ -59,8 +59,10 @@ def infer_main(argv):
                     help="FASTA or PHYLIP file (DNA, or protein for "
                          "--model lg/wag)")
     ap.add_argument("--model", default="jc",
-                    choices=["jc", "hky", "gtr", "lg", "wag", "jtt",
-                             "dayhoff", "mtrev", "cprev"])
+                    choices=["auto", "jc", "hky", "gtr", "lg", "wag",
+                             "jtt", "dayhoff", "mtrev", "cprev"],
+                    help="'auto' runs AICc model selection over the "
+                         "JC/HKY/GTR ±G ladder first (models/selection)")
     ap.add_argument("--kappa", type=float, default=2.0,
                     help="HKY transition/transversion ratio")
     ap.add_argument("--alpha", type=float, default=None,
@@ -84,6 +86,19 @@ def infer_main(argv):
     aln = _parse_alignment(text, protein=protein)
     if protein:
         model = empirical_protein(args.model)
+    elif args.model == "auto":
+        # ModelTest step: rank JC/HKY/GTR ±G by AICc on an NJ starting
+        # tree, then run the full inference under the winner.
+        from .models import model_select, nj_tree
+        comp = aln.compressed()
+        start = nj_tree(comp.codes)
+        sel = model_select(start, comp.codes, wgt=comp.weights)
+        log("model selection (AICc):\n" + sel.table())
+        log(f"selected: {sel.best.name}")
+        model = sel.best.model
+        if sel.best.alpha is not None and args.alpha is None:
+            args.alpha = sel.best.alpha
+        args.model = sel.best.name.partition("+")[0].lower()
     else:
         model = {"jc": jc69, "hky": lambda: hky85(args.kappa),
                  "gtr": jc69}[args.model]()

@@ -21,3 +21,5 @@ from .consensus import (bipartitions, rf_distance, majority_rule_consensus,
                         split_support, bootstrap_nj_trees, annotate_support)
 from .pipeline import InferenceResult, run_inference
 from .support import alrt_support, annotate_alrt
+from .selection import (ModelFit, SelectionResult, model_select,
+                        empirical_frequencies, DNA_CANDIDATES)
