@@ -26,6 +26,9 @@ import os
 import sys
 import time
 
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 # Virtual device count must be set before jax import.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -34,11 +37,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-ON_TPU = False
-try:
-    ON_TPU = jax.default_backend() == "tpu" and len(jax.devices()) >= 2
-except Exception:
-    pass
+# Probing jax.default_backend() would INITIALISE the axon single-chip
+# backend and lock out the virtual-CPU mesh, so multi-chip hardware
+# mode is an explicit opt-in: pass --tpu on a real pod slice (flips
+# perf_valid to 1); the default is the virtual-device protocol run.
+ON_TPU = "--tpu" in sys.argv
 if not ON_TPU:
     jax.config.update("jax_platforms", "cpu")
 
@@ -122,5 +125,8 @@ if __name__ == "__main__":
     ap.add_argument("--out",
                     default="benchmarks/results/weak_scaling.csv")
     ap.add_argument("--block", type=int, default=1024)
+    ap.add_argument("--tpu", action="store_true",
+                    help="real multi-chip run (pod slice): keep the TPU "
+                         "backend and mark rows perf_valid=1")
     args = ap.parse_args()
     run(args.sites_per_device, args.out, args.block)
