@@ -165,8 +165,10 @@ def main():
     # protein (S=20) and codon (S=61): vpu vs mxu variants
     if want("plf_states"):
         for states, block, variants in (
-                (20, 128 if quick else 2048, ("vpu", "mxu")),
-                (61, 128 if quick else 1024, ("mxu",))):
+                (20, 128 if quick else 2048,
+                 ("vpu", "mxu", "mxu_3x", "mxu_bf16")),
+                (61, 128 if quick else 1024,
+                 ("mxu", "mxu_3x", "mxu_bf16"))):
             n = pad(1 << 12 if quick else 1 << 21, block)
             for v in variants:
                 try:

@@ -367,12 +367,6 @@ def _seg_fwd_call(seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, ec, ttab,
     return bout, lik, sc
 
 
-def _segment_device_arrays(seg: Segment):
-    return tuple(jnp.asarray(a) for a in
-                 (seg.lsrc, seg.rsrc, seg.ovalid, seg.out_slots,
-                  np.asarray([seg.root_slot], np.int32)))
-
-
 def _stacked_plan(plan: SegPlan):
     """Stack the per-segment schedule arrays (host, cached per plan).
 
