@@ -198,7 +198,13 @@ def _hill_climb(tree: Tree, model: SubstitutionModel, tip_states,
         pms = [pm0] + [PhyloModel(c, model, tip_states, wgt=wgt,
                                   alpha=alpha, config=config)
                        for c in cands[1:]]
-        return batch_log_likelihood(pms)
+        try:
+            return batch_log_likelihood(pms)
+        except ValueError:
+            # big-taxa trees: the batched register-machine arena does
+            # not fit VMEM — score candidates individually (each via
+            # the segmented/per-node path log_likelihood chooses)
+            return np.asarray([ll_of(c) for c in cands])
 
     current = tree
     best_ll = ll_of(current)
