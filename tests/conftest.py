@@ -41,6 +41,7 @@ SLOW_TESTS = (
     "test_empirical.py::test_empirical_protein_model_runs",
     "test_empirical.py::test_builtin_lg_likelihood_regression",
     "test_empirical.py::test_infer_cli_with_lg",
+    "test_examples.py::test_example_runs[model_selection.py]",
     "test_fuzz.py::test_fuzz_backends_vs_golden",
     "test_grad.py::test_vjp_matches_autodiff[False]",
     "test_invariant.py::test_pinv_matches_oracle",
