@@ -105,10 +105,11 @@ def run(sites_per_device: int, out_path: str, block: int = 1024):
             "ll_per_site": ll_per_site_ref,
             "perf_valid": perf_valid,
         })
+        mode = ("TPU" if perf_valid else
+                "virtual-CPU protocol run — timings NOT performance data")
         print(f"N={n_dev}: {n_sites} sites, {wall:.3f}s, "
-              f"{rate/1e6:.2f} Msites/s, eff={rows[-1]['efficiency']:.2f} "
-              f"({'TPU' if perf_valid else 'virtual-CPU protocol run — '
-                 'timings NOT performance data'})")
+              f"{rate/1e6:.2f} Msites/s, "
+              f"eff={rows[-1]['efficiency']:.2f} ({mode})")
 
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w", newline="") as f:

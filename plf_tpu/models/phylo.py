@@ -374,7 +374,12 @@ class PhyloModel:
             from ..ops.plf_tree_pallas import fit_block_sites
             depth = schedule_depth(sched, self.tree.n_leaves)
             bs = fit_block_sites(depth + 2, cfg.rows, cfg.block_sites,
-                                 8 * 2 ** 20) or 128
+                                 8 * 2 ** 20)
+            if bs is None:
+                raise ValueError(
+                    f"fused static kernel: {depth}-deep live stack x "
+                    f"{cfg.rows} rows does not fit VMEM at any block; "
+                    f"use method='segmented' or 'per-node'")
             lik, sc = plf_tree_pallas(
                 self._codes, sched, lcs, rcs, self._ec, ttab,
                 self._root_rows, self.n_sites,

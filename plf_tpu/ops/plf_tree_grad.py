@@ -112,7 +112,7 @@ def _tree_bwd_kernel(n_ref, lpos_ref, rpos_ref,
     # slots [0, n_leaves), node CLVs at n_leaves + schedule position —
     # operand fetches are branch-free dynamic reads on the leading dim.
     def preload(l, _):
-        arena_ref[l] = _expand_tip(codes_ref[l], ttab_ref, S)
+        arena_ref[l] = _expand_tip(codes_ref[l], ttab_ref)
         return 0
 
     jax.lax.fori_loop(0, n_leaves, preload, 0)

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..reference import MIN_LIKELIHOOD, TWO_TO_THE_32
 from . import layout as L
-from .plf_pallas import MXU_PRECISION
+from .plf_pallas import MXU_PRECISION, _dot_bf16x3
 
 __all__ = ["plf_tree_pallas", "plf_tree_pallas_dynamic", "schedule_depth",
            "reorder_schedule", "compile_register_schedule",
@@ -125,7 +125,7 @@ def schedule_depth(schedule: Sequence[Tuple], n_leaves: int) -> int:
     return peak
 
 
-def _expand_tip(code_row, ttab_ref, states: int = None):
+def _expand_tip(code_row, ttab_ref):
     """int32 codes (1, BS) -> (rows, BS) eigen-coordinate tip CLV.
 
     Exact: sum of one matched table column and zeros (0*x == 0, 0+v == v
@@ -168,19 +168,23 @@ def _plf_node(x1, x2, lc_col, rc_col, ec_ref, valid, states, categories):
     return x3, mask.astype(jnp.int32)
 
 
-def _plf_node_mxu(x1, x2, ml, mr, me, valid,
-                  precision=jax.lax.Precision.HIGHEST):
+def _plf_node_mxu(x1, x2, ml, mr, me, valid, variant="mxu"):
     """One PLF node as three (rows, rows) block matmuls on the MXU
     (operators from layout.branch_to_block_matrix / ev_to_block_matrix);
-    ``precision`` selects the MXU pass count (plf_pallas.MXU_PRECISION)."""
-    hi = precision
-    ump1 = jax.lax.dot(ml, x1, precision=hi,
-                       preferred_element_type=jnp.float32)
-    ump2 = jax.lax.dot(mr, x2, precision=hi,
-                       preferred_element_type=jnp.float32)
+    ``variant`` selects the MXU pass count: "mxu" = HIGHEST (6-pass),
+    "mxu_3x" = the explicit bf16x3 split (Mosaic cannot lower
+    Precision.HIGH), "mxu_bf16" = 1 bf16 pass — same accuracy contract
+    as the single-node kernel (plf_pallas._plf_kernel_mxu)."""
+    if variant == "mxu_3x":
+        dot = _dot_bf16x3
+    else:
+        dot = functools.partial(jax.lax.dot,
+                                precision=MXU_PRECISION[variant],
+                                preferred_element_type=jnp.float32)
+    ump1 = dot(ml, x1)
+    ump2 = dot(mr, x2)
     p = ump1 * ump2
-    x3 = jax.lax.dot(me, p, precision=hi,
-                     preferred_element_type=jnp.float32)
+    x3 = dot(me, p)
     mask = jnp.logical_and(
         jnp.max(jnp.abs(x3), axis=0, keepdims=True) < MIN_LIKELIHOOD, valid)
     x3 = jnp.where(mask, x3 * TWO_TO_THE_32, x3)
@@ -207,7 +211,7 @@ def _tree_kernel(n_ref, codes_ref, lcs_ref, rcs_ref, ec_ref, ttab_ref,
     def get_child(node):
         if node < n_leaves:
             code_row = codes_ref[node:node + 1, :]
-            return _expand_tip(code_row, ttab_ref, S)
+            return _expand_tip(code_row, ttab_ref)
         return stack[node]
 
     for (parent, l, r, _, _, e) in schedule:
@@ -217,7 +221,7 @@ def _tree_kernel(n_ref, codes_ref, lcs_ref, rcs_ref, ec_ref, ttab_ref,
             x3, mask = _plf_node_mxu(
                 x1, x2, lcs_ref[:, e * W:(e + 1) * W],
                 rcs_ref[:, e * W:(e + 1) * W], ec_ref[...], valid,
-                precision=MXU_PRECISION[variant])
+                variant=variant)
         else:
             lc_col = lambda a, e=e: lcs_ref[:, e * S + a:e * S + a + 1]
             rc_col = lambda a, e=e: rcs_ref[:, e * S + a:e * S + a + 1]
@@ -419,7 +423,7 @@ def _tree_kernel_dynamic(n_ref, lsrc_ref, rsrc_ref, oslot_ref, eidx_ref,
     # dynamic index stays on the LEADING dim: Mosaic cannot index lanes
     # or sublanes at runtime-unaligned offsets.
     def preload(l, _):
-        arena_ref[l] = _expand_tip(codes_ref[l], ttab_ref, S)
+        arena_ref[l] = _expand_tip(codes_ref[l], ttab_ref)
         return 0
 
     jax.lax.fori_loop(0, n_leaves, preload, 0)
@@ -433,7 +437,7 @@ def _tree_kernel_dynamic(n_ref, lsrc_ref, rsrc_ref, oslot_ref, eidx_ref,
         rcv = rcs_ref[e]
         if variant.startswith("mxu"):
             x3, mask = _plf_node_mxu(x1, x2, lcv, rcv, ec_ref[...], valid,
-                                     precision=MXU_PRECISION[variant])
+                                     variant=variant)
         else:
             x3, mask = _plf_node(
                 x1, x2, lambda a: lcv[:, a:a + 1],

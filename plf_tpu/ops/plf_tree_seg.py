@@ -133,10 +133,22 @@ def plan_segments(schedule: Sequence[Tuple], n_leaves: int, *, rows: int,
         if best is None:
             raise ValueError("no block size fits the VMEM budget")
         block_sites, cap_ops = best
+    return _plan_with_cap(schedule, n_leaves, rows=rows,
+                          block_sites=block_sites, cap_ops=cap_ops,
+                          vmem_budget=vmem_budget)
+
+
+def _plan_with_cap(schedule, n_leaves, *, rows, block_sites, cap_ops,
+                   vmem_budget) -> SegPlan:
+    """Build a plan for ``cap_ops``; on VMEM misfit (the cap heuristic
+    bounds MEAN segment size, but a pathological tree shape can make one
+    segment's tips+boundaries+ops far exceed it) retry with half the
+    cap instead of raising — smaller caps always converge because a
+    1-op segment's arena is 4 slots."""
+    E = len(schedule)
     thresh = max(1, (cap_ops + 1) // 2)
 
     children = {p: (l, r) for (p, l, r, *_rest) in schedule}
-    pos_of = {entry[0]: i for i, entry in enumerate(schedule)}
 
     # ---- contraction ------------------------------------------------------
     pending: Dict[int, List[int]] = {}
@@ -231,9 +243,14 @@ def plan_segments(schedule: Sequence[Tuple], n_leaves: int, *, rows: int,
     fitted = fit_block_sites(seg_tips + seg_bnd + seg_ops + 1 + io_slots,
                              rows, block_sites, vmem_budget)
     if fitted is None:
+        if cap_ops > 1:
+            return _plan_with_cap(schedule, n_leaves, rows=rows,
+                                  block_sites=block_sites,
+                                  cap_ops=max(1, cap_ops // 2),
+                                  vmem_budget=vmem_budget)
         raise ValueError(
             f"segment arena ({seg_tips}+{seg_bnd}+{seg_ops} slots) does "
-            f"not fit VMEM at any block; lower cap_ops")
+            f"not fit VMEM even at cap_ops=1 (rows={rows})")
     return SegPlan(segments=tuple(segments), n_leaves=n_leaves, n_edges=E,
                    n_boundaries=n_boundaries, seg_tips=seg_tips,
                    seg_bnd=seg_bnd, seg_ops=seg_ops, seg_out=seg_out,
@@ -260,7 +277,7 @@ def _seg_fwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
     valid = idx < n_ref[0]
 
     def preload_tip(t, _):
-        arena_ref[t] = _expand_tip(codes_ref[t], ttab_ref, ncode - 1)
+        arena_ref[t] = _expand_tip(codes_ref[t], ttab_ref)
         return 0
 
     jax.lax.fori_loop(0, seg_tips, preload_tip, 0)
@@ -509,7 +526,7 @@ def _seg_bwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
         grrT_ref[...] = jnp.zeros_like(grrT_ref)
 
     def preload_tip(t, _):
-        arena_ref[t] = _expand_tip(codes_ref[t], ttab_ref, ncode - 1)
+        arena_ref[t] = _expand_tip(codes_ref[t], ttab_ref)
         return 0
 
     jax.lax.fori_loop(0, seg_tips, preload_tip, 0)

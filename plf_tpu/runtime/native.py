@@ -37,6 +37,10 @@ def build_native(force: bool = False) -> bool:
     global _build_attempted
     _build_attempted = True
     src = os.path.join(os.path.abspath(_NATIVE_DIR), "plf_native.cpp")
+    if not os.path.exists(src):
+        # source pruned (e.g. a binary-only deployment): use the .so
+        # as-is if present rather than crashing on getmtime
+        return os.path.exists(_LIB_PATH)
     fresh = (os.path.exists(_LIB_PATH) and
              os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src))
     if fresh and not force:
