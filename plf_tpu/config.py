@@ -86,7 +86,11 @@ class PLFConfig:
                                  # MXU passes, ~fp32-grade), "mxu_bf16"
                                  # (1-pass bf16 operands + fp32 accum —
                                  # fastest for the compute-bound S>=20
-                                 # shapes), or "auto" (vpu for small
+                                 # shapes; near-underflow sites can
+                                 # round negative through deep trees and
+                                 # land on the log floor — prefer
+                                 # mxu_3x for whole-tree traversals),
+                                 # or "auto" (vpu for small
                                  # state counts, mxu where the
                                  # (S*C, S*C) operators are big enough
                                  # to win — measured 1.5x for protein

@@ -295,7 +295,13 @@ class PhyloModel:
         """Host-side fp64 log/sum + optional ascertainment correction."""
         n_obs = self.n_sites_obs
         lik_h = np.asarray(lik_pad, dtype=np.float64)
-        site_ll = np.log(lik_h[:n_obs])
+        # Floor before the log, matching the differentiable paths
+        # (optimize.py clamps at 1e-45): exact variants always produce
+        # positive likelihoods so this is a no-op there, but the 1-pass
+        # bf16 fast mode (kernel_variant="mxu_bf16") can round
+        # near-underflow site likelihoods NEGATIVE — those sites get the
+        # deterministic floor penalty instead of log(<0)=NaN.
+        site_ll = np.log(np.maximum(lik_h[:n_obs], 1e-45))
         corr = 0.0
         if self.ascertainment == "lewis":
             corr = self._asc_log_one_minus_pconst(lik_h, sc_sites)

@@ -232,3 +232,19 @@ def test_lewis_correction_gradient_path():
     assert abs(ll - ref) < 1e-3 * abs(ref) + 0.5
     g = np.asarray(jax.grad(fn)(jnp.asarray(t0)))
     assert np.isfinite(g).all()
+
+
+def test_finalise_ll_floors_negative_site_likelihoods():
+    """The 1-pass bf16 fast mode can round near-underflow site
+    likelihoods NEGATIVE through deep trees (observed on hardware,
+    RESULTS.md round 3); _finalise_ll must floor before the log so the
+    result is a finite deterministic penalty, never NaN."""
+    rng = np.random.default_rng(0)
+    tips = rng.integers(0, 4, size=(4, 8)).astype(np.int32)
+    pm = PhyloModel(random_tree(4, seed=1), hky85(2.0), tips,
+                    config=PLFConfig(block_sites=128))
+    lik = np.array([0.5, -1e-40, 0.0, 1e-30, 0.25, 0.1, 0.2, 0.3])
+    res = pm._finalise_ll(lik, np.zeros(8, np.int64), 0)
+    assert np.all(np.isfinite(res.site_log_likelihood))
+    assert res.site_log_likelihood[1] == res.site_log_likelihood[2] == (
+        np.log(1e-45))
