@@ -91,7 +91,7 @@ def infer_main(argv):
         # tree, then run the full inference under the winner.
         from .models import model_select, nj_tree
         comp = aln.compressed()
-        start = nj_tree(comp.codes)
+        start = nj_tree(comp.codes, comp.weights)
         sel = model_select(start, comp.codes, wgt=comp.weights)
         log("model selection (AICc):\n" + sel.table())
         log(f"selected: {sel.best.name}")

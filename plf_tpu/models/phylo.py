@@ -551,9 +551,12 @@ class PhyloModel:
                                      np.asarray(sc_sites)[0], scaler_total)
         ll = float(ll_sum) + scaler_total * LOG_MINLIK
         lik_h = np.asarray(lik, np.float64)[0, :n]
+        # Same 1e-45 floor as _finalise_ll / the in-kernel clamp: the
+        # 1-pass bf16 variant can round near-underflow likelihoods
+        # negative, and this per-site array feeds RELL/site outputs.
         return TreeLikelihoodResult(
             log_likelihood=ll,
-            site_log_likelihood=np.log(lik_h),
+            site_log_likelihood=np.log(np.maximum(lik_h, 1e-45)),
             scaler_total=scaler_total, root_clv=None)
 
     # -- brute-force oracle (tests) -----------------------------------------

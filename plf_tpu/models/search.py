@@ -200,7 +200,9 @@ def _hill_climb(tree: Tree, model: SubstitutionModel, tip_states,
                        for c in cands[1:]]
         try:
             return batch_log_likelihood(pms)
-        except ValueError:
+        except ValueError as e:
+            if "does not fit" not in str(e):
+                raise   # programming errors must not degrade silently
             # big-taxa trees: the batched register-machine arena does
             # not fit VMEM — score candidates individually (each via
             # the segmented/per-node path log_likelihood chooses)

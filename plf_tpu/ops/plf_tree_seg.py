@@ -288,6 +288,23 @@ def _seg_fwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
 
     jax.lax.fori_loop(0, seg_bnd, preload_bnd, 0)
 
+    # Zero the padded-op slots and the trailing dummy slot: padded ops
+    # self-reference their own slot and padded bout lanes export the
+    # dummy, so without this those exports carry uninitialised VMEM
+    # (possibly NaN bit patterns) into the bbuf trash row — contained
+    # today by the trash-row invariant, but fragile under future edits
+    # (the bwd kernel already zeroes its padded slots for this reason).
+    def zero_pad_slot(i, _):
+        @pl.when(ovalid_ref[i] == 0)
+        def _():
+            arena_ref[seg_tips + seg_bnd + i] = jnp.zeros(
+                (rows, BS), jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, seg_ops, zero_pad_slot, 0)
+    arena_ref[seg_tips + seg_bnd + seg_ops] = jnp.zeros((rows, BS),
+                                                        jnp.float32)
+
     def body(i, scaler):
         lcv = lcs_ref[i]
         rcv = rcs_ref[i]
