@@ -24,9 +24,10 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def run_mode(inflight, calls_data, cfg):
+def run_mode(inflight, calls_data, cfg, timing_mode="pipelined"):
     from plf_tpu.runtime.executor import StreamingExecutor
-    ex = StreamingExecutor(cfg, inflight=inflight)
+    ex = StreamingExecutor(cfg, inflight=inflight,
+                           timing_mode=timing_mode)
     # warm up the kernel compile outside the timed region
     next(iter(ex.run([calls_data[0]])))
     ex.timing = type(ex.timing)()
@@ -71,6 +72,43 @@ def main():
     overlap = 1.0 - piped / serial
     print(f"overlap win: {overlap*100:.1f}% "
           f"({'OVERLAPPED' if overlap > 0.05 else 'no overlap'})")
+
+    # Fenced mode: accurate per-phase attribution (each phase's device
+    # work completes before its timestamp — executor.py timing_mode).
+    # Validate msm against an independent slope-protocol kernel time.
+    fwall, inc3, t3 = run_mode(1, calls_data, cfg, timing_mode="fenced")
+    assert inc3 == inc1, (inc3, inc1)
+    print(f"fenced (inflight=1): {fwall*1e3:8.1f} ms  [phase table below]")
+    print(format_timing_table(t3, 3 * 64 * n, n), file=sys.stderr)
+    if jax.default_backend() == "tpu":
+        import time as _time
+        import jax.numpy as jnp
+        from plf_tpu.ops import layout as L
+        from plf_tpu.ops.plf_pallas import plf_pallas_lane_major
+        x1, x2, left, right, ev, _ = calls_data[0]
+        x1l = jnp.asarray(L.pad_to_multiple(
+            L.to_lane_major(np.asarray(x1, np.float32)), cfg.block_sites))
+        x2l = jnp.asarray(L.pad_to_multiple(
+            L.to_lane_major(np.asarray(x2, np.float32)), cfg.block_sites))
+        lc = jnp.asarray(L.branch_to_lane_constants(left))
+        rc = jnp.asarray(L.branch_to_lane_constants(right))
+        ec = jnp.asarray(L.ev_to_lane_constants(ev))
+
+        def once():
+            x3, sc = plf_pallas_lane_major(
+                x1l, x2l, lc, rc, ec, jnp.int32(n),
+                block_sites=cfg.block_sites)
+            return float(np.asarray(jnp.sum(sc)))
+        once()
+        reps = 6
+        t0 = _time.perf_counter()
+        for _ in range(reps):
+            once()
+        per = (_time.perf_counter() - t0) / reps * 1e3
+        msm = t3.msm() / max(t3.num_calls, 1)
+        print(f"fenced msm {msm:.2f} ms vs standalone kernel {per:.2f} ms "
+              f"(ratio {msm/max(per,1e-9):.2f}; ~1 expected: the fenced "
+              f"msm phase is the kernel + its scalar fence round-trip)")
     return overlap
 
 

@@ -120,10 +120,13 @@ class PLFConfig:
         MXU block-matmul form once the operators are large enough that
         the systolic array beats the elementwise unroll (S >= ~16;
         protein measured 1.5x, codon requires it — the VPU form unrolls
-        S concat/mul/add triples and is built for small S)."""
+        S concat/mul/add triples and is built for small S).  The 3-pass
+        bf16x3 split is the S>=20 default: fp32-grade ~1e-5 relative
+        accuracy at half the MXU passes of HIGHEST (hardware matrix
+        r03_protein.csv; set kernel_variant="mxu" for the 6-pass form)."""
         if self.kernel_variant != "auto":
             return self.kernel_variant
-        return "vpu" if self.states <= 8 else "mxu"
+        return "vpu" if self.states <= 8 else "mxu_3x"
 
     @property
     def elements_per_site(self) -> int:

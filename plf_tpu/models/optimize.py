@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import Backend
 from ..reference import MIN_LIKELIHOOD, TWO_TO_THE_32
 from .phylo import LOG_MINLIK, PhyloModel
 
@@ -90,7 +91,13 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False,
             backend = "tree" if _tree_backend_block(pm) else "segmented"
         elif jax.default_backend() == "tpu":
             resid = 3 * len(pm.schedule) * pm.config.rows * pm.n_pad * 4
-            if resid <= _PERNODE_RESIDUAL_BUDGET:
+            if pm.config.resolved_kernel_variant.startswith("mxu"):
+                # per-node VJP is VPU-only; the whole-tree/segmented
+                # backends carry the MXU precision ladder (S>=20
+                # training runs at ladder speed, not VPU speed)
+                backend = ("tree" if _tree_backend_block(pm)
+                           else "segmented")
+            elif resid <= _PERNODE_RESIDUAL_BUDGET:
                 backend = "pallas"
             elif _tree_backend_block(pm):
                 backend = "tree"
@@ -316,13 +323,16 @@ def _tree_backend_block(pm: PhyloModel,
 
     cfg = pm.config
     E = len(pm.schedule)
+    W = (cfg.rows if cfg.resolved_kernel_variant.startswith("mxu")
+         else 0)
     # Only 128-multiple divisors of the configured block are valid: the
     # PLFConfig lane constraint must hold AND the block must divide
     # n_pad (which is a multiple of cfg.block_sites).
     for bs in range(cfg.block_sites, 127, -128):
         if cfg.block_sites % bs:
             continue
-        if (tree_bwd_vmem_bytes(E, pm.tree.n_leaves, cfg.rows, bs)
+        if (tree_bwd_vmem_bytes(E, pm.tree.n_leaves, cfg.rows, bs,
+                                op_width=W)
                 <= vmem_budget and pm.n_pad % bs == 0):
             return bs
     return None
@@ -388,7 +398,12 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
     rates = jnp.asarray(pm.rates, jnp.float32)
     pi_u = jnp.asarray(model.root_vector, jnp.float32)
     cw = jnp.asarray(pm.rate_weights, jnp.float32)
-    ec = jnp.asarray(L.ev_to_lane_constants(model.plf_ev, S, C))
+    variant = (cfg.resolved_kernel_variant
+               if cfg.backend is not Backend.XLA else "vpu")
+    if variant.startswith("mxu"):
+        ec = jnp.asarray(L.ev_to_block_matrix(model.plf_ev, S, C))
+    else:
+        ec = jnp.asarray(L.ev_to_lane_constants(model.plf_ev, S, C))
     # Site weights ride as a jit ARGUMENT (O(sites) closure constants
     # embed in the HLO and blow the remote compiler's request limit);
     # the ubiquitous all-ones case is built on device.
@@ -407,11 +422,12 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
         from ..ops.plf_tree_seg import make_tree_diff_segmented
         tdiff_local = make_tree_diff_segmented(
             sched_r, n_leaves, states=S, categories=C, block_sites=bs,
-            interpret=interpret)
+            interpret=interpret, variant=variant)
     else:
         tdiff_local = make_tree_diff(sched_r, n_leaves, states=S,
                                      categories=C, block_sites=bs,
-                                     interpret=interpret)
+                                     interpret=interpret,
+                                     variant=variant)
     if mesh is None:
         tdiff = tdiff_local
     else:
@@ -435,10 +451,25 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
     t0 = np.array([pm.tree.nodes[i].length
                    for i in range(pm.tree.n_nodes - 1)], np.float32)
 
-    def lane_const(t, r_vec):
-        e = jnp.exp(lam[None, :] * t * r_vec[:, None])     # (C, S) [c, a]
-        b = u[None, :, :] * e[:, None, :]                  # [c, k, a]
-        return jnp.transpose(b, (1, 0, 2)).reshape(S * C, S)
+    if variant.startswith("mxu"):
+        # block-matrix operator M[k*C+c, a*C+c] = b[c, k, a]
+        # (layout.branch_to_block_matrix as a differentiable scatter —
+        # its VJP is the gather back to the (C, S, S) parameter cube)
+        _cc, _kk, _aa = np.meshgrid(np.arange(C), np.arange(S),
+                                    np.arange(S), indexing="ij")
+        blk_rows = jnp.asarray(_kk * C + _cc)
+        blk_cols = jnp.asarray(_aa * C + _cc)
+
+        def lane_const(t, r_vec):
+            e = jnp.exp(lam[None, :] * t * r_vec[:, None])     # (C, S)
+            b = u[None, :, :] * e[:, None, :]                  # [c, k, a]
+            z = jnp.zeros((S * C, S * C), jnp.float32)
+            return z.at[blk_rows, blk_cols].set(b)
+    else:
+        def lane_const(t, r_vec):
+            e = jnp.exp(lam[None, :] * t * r_vec[:, None])   # (C, S) [c, a]
+            b = u[None, :, :] * e[:, None, :]                # [c, k, a]
+            return jnp.transpose(b, (1, 0, 2)).reshape(S * C, S)
 
     asc = pm.ascertainment == "lewis"
     d0 = pm.n_sites_obs

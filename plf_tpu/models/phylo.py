@@ -408,10 +408,10 @@ class PhyloModel:
     # -- segmented whole-tree evaluation (big-taxa trees) --------------------
 
     def can_segment(self) -> bool:
-        """Whether the segmented kernel path applies (Pallas, VPU form)."""
-        cfg = self.config
-        return (cfg.backend is not Backend.XLA
-                and cfg.resolved_kernel_variant == "vpu")
+        """Whether the segmented kernel path applies (any Pallas
+        variant — the MXU precision ladder reaches the segmented engine
+        too)."""
+        return self.config.backend is not Backend.XLA
 
     def _segmented_inputs(self):
         if self._seg_cache is not None:
@@ -419,15 +419,18 @@ class PhyloModel:
         from ..ops.plf_tree_seg import plan_segments
 
         cfg = self.config
+        variant = cfg.resolved_kernel_variant
         n_leaves = self.tree.n_leaves
         sched_r = reorder_schedule(self.schedule, n_leaves)
         eidx = jnp.asarray([e for (*_x, e) in sched_r])
-        lcs3 = jnp.take(self._lcs, eidx, axis=0)     # (E, rows, S)
+        lcs3 = jnp.take(self._lcs, eidx, axis=0)     # (E, rows, S|rows)
         rcs3 = jnp.take(self._rcs, eidx, axis=0)
         pos_sched = tuple((p, l, r, 0.0, 0.0, i)
                           for i, (p, l, r, *_x) in enumerate(sched_r))
-        plan = plan_segments(pos_sched, n_leaves, rows=cfg.rows,
-                             block_sites=cfg.block_sites)
+        plan = plan_segments(
+            pos_sched, n_leaves, rows=cfg.rows,
+            block_sites=cfg.block_sites,
+            op_width=cfg.rows if variant.startswith("mxu") else 0)
         _, _, _, ttab = self._fused_inputs()
         codes3 = self._codes.reshape(self._codes.shape[0], 1, -1)
         self._seg_cache = (plan, codes3, lcs3, rcs3, ttab)
@@ -436,18 +439,19 @@ class PhyloModel:
     def log_likelihood_segmented(self) -> TreeLikelihoodResult:
         """Segmented whole-tree evaluation: O(#segments) dispatches for
         trees beyond the single-arena VMEM budget (ops/plf_tree_seg.py).
-        Bit-exact vs the fused and per-node paths."""
+        Bit-exact vs the fused and per-node paths in the VPU form; MXU
+        variants carry their documented precision ladder."""
         from ..ops.plf_tree_seg import plf_tree_segmented
 
         cfg = self.config
         if not self.can_segment():
-            raise ValueError("segmented path needs the Pallas VPU form")
+            raise ValueError("segmented path needs a Pallas backend")
         interpret = cfg.interpret or (jax.default_backend() != "tpu")
         plan, codes3, lcs3, rcs3, ttab = self._segmented_inputs()
         lik, sc = plf_tree_segmented(
             plan, codes3, lcs3, rcs3, self._ec, ttab, self._root_rows,
             self.n_sites, states=cfg.states, categories=cfg.categories,
-            interpret=interpret)
+            interpret=interpret, variant=cfg.resolved_kernel_variant)
         scaler_total = int(np.asarray(jnp.sum(sc[0] * self._wgt_dev)))
         return self._finalise_ll(np.asarray(lik)[0], np.asarray(sc)[0],
                                  scaler_total)

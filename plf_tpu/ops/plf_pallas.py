@@ -137,6 +137,12 @@ MXU_PRECISION = {
 }
 
 
+def _bf16_split(a):
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
 def _dot_bf16x3(m, x):
     """3-pass bf16 matmul: hi*hi + hi*lo + lo*hi, fp32 accumulation.
 
@@ -149,11 +155,42 @@ def _dot_bf16x3(m, x):
     d = functools.partial(jax.lax.dot,
                           precision=jax.lax.Precision.DEFAULT,
                           preferred_element_type=jnp.float32)
-    m_hi = m.astype(jnp.bfloat16)
-    m_lo = (m - m_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    x_hi = x.astype(jnp.bfloat16)
-    x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    m_hi, m_lo = _bf16_split(m)
+    x_hi, x_lo = _bf16_split(x)
     return d(m_hi, x_hi) + (d(m_hi, x_lo) + d(m_lo, x_hi))
+
+
+#: a @ b.T contraction (both operands (rows, sites); the operator-gradient
+#: reduction of the MXU backward kernels).
+_DNT = (((1,), (1,)), ((), ()))
+
+
+def _dot_t_bf16x3(a, b):
+    """3-pass bf16 ``a @ b.T`` (contract the trailing/site axis)."""
+    d = functools.partial(jax.lax.dot_general, dimension_numbers=_DNT,
+                          precision=jax.lax.Precision.DEFAULT,
+                          preferred_element_type=jnp.float32)
+    a_hi, a_lo = _bf16_split(a)
+    b_hi, b_lo = _bf16_split(b)
+    return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+
+
+def make_mxu_dots(variant: str):
+    """(dot, dot_t) for an MXU variant: ``dot(m, x) = m @ x`` and
+    ``dot_t(a, b) = a @ b.T``, each at the variant's MXU pass count
+    (see MXU_PRECISION) with fp32 accumulation.  Shared by the forward
+    node kernels and the backward/gradient kernels so the whole precision
+    ladder reaches training (the reference's optimisation ladder,
+    aie/src/128x1PLFwindow2in/kernels/combine_and_mac_EV.cpp:8,45,78)."""
+    if variant == "mxu_3x":
+        return _dot_bf16x3, _dot_t_bf16x3
+    prec = MXU_PRECISION[variant]
+    dot = functools.partial(jax.lax.dot, precision=prec,
+                            preferred_element_type=jnp.float32)
+    dot_t = functools.partial(jax.lax.dot_general, dimension_numbers=_DNT,
+                              precision=prec,
+                              preferred_element_type=jnp.float32)
+    return dot, dot_t
 
 
 def _plf_kernel_mxu(n_ref, x1_ref, x2_ref, ml_ref, mr_ref, me_ref,

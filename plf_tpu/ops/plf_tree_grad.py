@@ -54,12 +54,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..reference import TWO_TO_THE_32
 from .plf_grad import _op_grad, _stage, transpose_lane_constants
-from .plf_tree_pallas import (_expand_tip, _plf_node,
+from .plf_pallas import make_mxu_dots
+from .plf_tree_pallas import (_expand_tip, _plf_node, _plf_node_mxu,
                               _plf_tree_dynamic_call3,
                               compile_register_schedule)
 
 __all__ = ["make_tree_diff", "compile_backward_schedule",
-           "tree_bwd_vmem_bytes"]
+           "tree_bwd_vmem_bytes", "transpose_operator_stack"]
+
+
+def transpose_operator_stack(ops3, variant: str, states: int,
+                             categories: int):
+    """Adjoint-stage operators for a stacked (E, rows, W) operator array:
+    lane-constant relabeling for the VPU form, plain matrix transpose for
+    the MXU block-matrix forms."""
+    if variant.startswith("mxu"):
+        return jnp.transpose(ops3, (0, 2, 1))
+    tT = functools.partial(transpose_lane_constants,
+                           states=states, categories=categories)
+    return jax.vmap(tT)(ops3)
 
 
 def compile_backward_schedule(schedule: Sequence[Tuple], n_leaves: int):
@@ -83,10 +96,15 @@ def compile_backward_schedule(schedule: Sequence[Tuple], n_leaves: int):
 
 
 def tree_bwd_vmem_bytes(n_edges: int, n_leaves: int, rows: int,
-                        block_sites: int) -> int:
-    """Arena + factor scratch footprint of the backward kernel."""
+                        block_sites: int, op_width: int = 0) -> int:
+    """Arena + factor scratch footprint of the backward kernel.
+
+    ``op_width``: operator stack width (S for the VPU form, rows for the
+    MXU block-matrix forms) — the 6 per-edge stacks (lcs/rcs/lcsT/rcsT
+    in, gl/gr out) also ride VMEM and matter once W = rows (S>=20)."""
     return ((n_edges + n_leaves) * rows * block_sites * 4
-            + n_edges * block_sites * 4)
+            + n_edges * block_sites * 4
+            + 6 * n_edges * rows * op_width * 4)
 
 
 def _tree_bwd_kernel(n_ref, lpos_ref, rpos_ref,
@@ -94,12 +112,15 @@ def _tree_bwd_kernel(n_ref, lpos_ref, rpos_ref,
                      ec_ref, ecT_ref, ttab_ref, rrT_ref, glik_ref,
                      gl_ref, gr_ref, gec_ref, grrT_ref,
                      arena_ref, fac_ref, *, n_edges, n_leaves, states,
-                     categories, block_sites):
+                     categories, block_sites, variant="vpu"):
     S, C = states, categories
     BS = block_sites
     site0 = pl.program_id(0) * BS
     idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
     valid = idx < n_ref[0]
+    is_mxu = variant.startswith("mxu")
+    if is_mxu:
+        dot, dot_t = make_mxu_dots(variant)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -123,9 +144,13 @@ def _tree_bwd_kernel(n_ref, lpos_ref, rpos_ref,
         rcv = rcs_ref[i]
         x1 = arena_ref[lpos_ref[i]]
         x2 = arena_ref[rpos_ref[i]]
-        x3, mask = _plf_node(x1, x2, lambda a: lcv[:, a:a + 1],
-                             lambda a: rcv[:, a:a + 1], ec_ref, valid,
-                             S, C)
+        if is_mxu:
+            x3, mask = _plf_node_mxu(x1, x2, lcv, rcv, ec_ref[...],
+                                     valid, variant=variant)
+        else:
+            x3, mask = _plf_node(x1, x2, lambda a: lcv[:, a:a + 1],
+                                 lambda a: rcv[:, a:a + 1], ec_ref, valid,
+                                 S, C)
         arena_ref[n_leaves + i] = x3
         fac_ref[i] = jnp.where(mask > 0, jnp.float32(TWO_TO_THE_32),
                                jnp.float32(1.0))
@@ -140,6 +165,13 @@ def _tree_bwd_kernel(n_ref, lpos_ref, rpos_ref,
     arena_ref[n_leaves + n_edges - 1] = rrT_ref[...] * g   # (rows, BS)
 
     # ---- phase 2: reverse sweep (slots flip CLV -> adjoint) -------------
+    # Adjoint identities (both forms): with u1 = Op_l(x1), u2 = Op_r(x2),
+    # p = u1*u2, y = Op_e(p), x3 = f*y (f locally constant):
+    #   g_y = g_x3*f; g_p = Op_eᵀ(g_y); g_u1 = g_p*u2; g_u2 = g_p*u1;
+    #   g_x = Opᵀ(g_u); g_Op = outer-product reduction over sites.
+    # The MXU form runs all of it as (rows, rows) @ (rows, BS) matmuls
+    # at the variant's pass count — the precision ladder reaches the
+    # backward pass too.
     def bwd_body(j, _):
         i = n_edges - 1 - j
         g_x3 = arena_ref[n_leaves + i]                     # adjoint of x3
@@ -148,19 +180,33 @@ def _tree_bwd_kernel(n_ref, lpos_ref, rpos_ref,
         rcv = rcs_ref[i]
         x1 = arena_ref[lpos_ref[i]]
         x2 = arena_ref[rpos_ref[i]]
-        u1 = _stage(x1, lcv, S, C)
-        u2 = _stage(x2, rcv, S, C)
-        g_p = _stage(g_y, ecT_ref, S, C)
-        g_u1 = g_p * u2
-        g_u2 = g_p * u1
-        gl_ref[i] += _op_grad(x1, g_u1, S, C)
-        gr_ref[i] += _op_grad(x2, g_u2, S, C)
-        gec_ref[...] += _op_grad(u1 * u2, g_y, S, C)
+        if is_mxu:
+            u1 = dot(lcv, x1)
+            u2 = dot(rcv, x2)
+            g_p = dot(ecT_ref[...], g_y)
+            g_u1 = g_p * u2
+            g_u2 = g_p * u1
+            gl_ref[i] += dot_t(g_u1, x1)
+            gr_ref[i] += dot_t(g_u2, x2)
+            gec_ref[...] += dot_t(g_y, u1 * u2)
+            gx1 = dot(lcsT_ref[i], g_u1)
+            gx2 = dot(rcsT_ref[i], g_u2)
+        else:
+            u1 = _stage(x1, lcv, S, C)
+            u2 = _stage(x2, rcv, S, C)
+            g_p = _stage(g_y, ecT_ref, S, C)
+            g_u1 = g_p * u2
+            g_u2 = g_p * u1
+            gl_ref[i] += _op_grad(x1, g_u1, S, C)
+            gr_ref[i] += _op_grad(x2, g_u2, S, C)
+            gec_ref[...] += _op_grad(u1 * u2, g_y, S, C)
+            gx1 = _stage(g_u1, lcsT_ref[i], S, C)
+            gx2 = _stage(g_u2, rcsT_ref[i], S, C)
         # child adjoint writes are unconditional: a leaf child's slot is
         # dead after this step (each node has exactly one parent), so
         # clobbering a tip slot is harmless
-        arena_ref[lpos_ref[i]] = _stage(g_u1, lcsT_ref[i], S, C)
-        arena_ref[rpos_ref[i]] = _stage(g_u2, rcsT_ref[i], S, C)
+        arena_ref[lpos_ref[i]] = gx1
+        arena_ref[rpos_ref[i]] = gx2
         return 0
 
     jax.lax.fori_loop(0, n_edges, bwd_body, 0)
@@ -169,24 +215,25 @@ def _tree_bwd_kernel(n_ref, lpos_ref, rpos_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("n_edges", "n_leaves", "states", "categories",
-                     "block_sites", "interpret"))
+                     "block_sites", "interpret", "variant"))
 def _tree_bwd_call(bwd_arrs, codes3, lcs3, rcs3, lcsT3, rcsT3, ec, ecT,
                    ttab, rrT, glik, n, *, n_edges, n_leaves, states,
-                   categories, block_sites, interpret):
+                   categories, block_sites, interpret, variant="vpu"):
     S, C = states, categories
     rows = S * C
     n_pad = codes3.shape[-1]
     grid = (n_pad // block_sites,)
     n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
+    W = rows if variant.startswith("mxu") else S
 
     kernel = functools.partial(
         _tree_bwd_kernel, n_edges=n_edges, n_leaves=n_leaves, states=S,
-        categories=C, block_sites=block_sites)
+        categories=C, block_sites=block_sites, variant=variant)
     nm3 = lambda i, *_: (0, 0, i)
     c0 = lambda i, *_: (0, 0)
     c03 = lambda i, *_: (0, 0, 0)
-    op3 = pl.BlockSpec((n_edges, rows, S), c03, memory_space=pltpu.VMEM)
-    const = pl.BlockSpec((rows, S), c0, memory_space=pltpu.VMEM)
+    op3 = pl.BlockSpec((n_edges, rows, W), c03, memory_space=pltpu.VMEM)
+    const = pl.BlockSpec((rows, W), c0, memory_space=pltpu.VMEM)
     gl, gr, gec, grrT = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -212,9 +259,9 @@ def _tree_bwd_call(bwd_arrs, codes3, lcs3, rcs3, lcsT3, rcsT3, ec, ecT,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((n_edges, rows, S), jnp.float32),
-            jax.ShapeDtypeStruct((n_edges, rows, S), jnp.float32),
-            jax.ShapeDtypeStruct((rows, S), jnp.float32),
+            jax.ShapeDtypeStruct((n_edges, rows, W), jnp.float32),
+            jax.ShapeDtypeStruct((n_edges, rows, W), jnp.float32),
+            jax.ShapeDtypeStruct((rows, W), jnp.float32),
             jax.ShapeDtypeStruct((rows, 1), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
@@ -231,7 +278,7 @@ def _tree_bwd_call(bwd_arrs, codes3, lcs3, rcs3, lcsT3, rcsT3, ec, ecT,
 def make_tree_diff(schedule: Sequence[Tuple], n_leaves: int, *,
                    states: int = 4, categories: int = 4,
                    block_sites: int = 1024, interpret: bool = False,
-                   vmem_budget: int = 10 * 2 ** 20):
+                   vmem_budget: int = 10 * 2 ** 20, variant: str = "vpu"):
     """Differentiable fused whole-tree likelihood.
 
     Args:
@@ -242,19 +289,26 @@ def make_tree_diff(schedule: Sequence[Tuple], n_leaves: int, *,
         ``(E + n_leaves) * rows * block_sites * 4`` bytes of VMEM —
         shrink the block for big trees (``tree_bwd_vmem_bytes`` is the
         check).
+      variant: "vpu" (bit-exact lane-constant form; operators (E, rows,
+        S)) or "mxu"/"mxu_3x"/"mxu_bf16" (block-matrix forms; operators
+        (E, rows, rows) from layout.branch_to_block_matrix) — the MXU
+        precision ladder applies to the forward AND the checkpointed
+        backward, so S>=20 training runs at ladder speed.
 
     Returns ``f(codes3, lcs3, rcs3, ec, ttab, rr, n) -> (lik, sc)``:
-      codes3 (n_leaves, 1, n_pad) int32, lcs3/rcs3 (E, rows, S) fp32
-      lane-constant stacks, ec (rows, S), ttab (rows, S+1),
-      rr (1, rows), n valid sites.  ``lik``/``sc`` are (1, n_pad).
-      Differentiable in lcs3, rcs3, ec and rr; forward is the
-      register-machine tree kernel, backward the checkpointed arena
+      codes3 (n_leaves, 1, n_pad) int32, lcs3/rcs3 (E, rows, W) fp32
+      operator stacks (W per ``variant``), ec (rows, W), ttab
+      (rows, S+1), rr (1, rows), n valid sites.  ``lik``/``sc`` are
+      (1, n_pad).  Differentiable in lcs3, rcs3, ec and rr; forward is
+      the register-machine tree kernel, backward the checkpointed arena
       kernel above.
     """
     S, C = states, categories
     rows = S * C
     E = len(schedule)
-    need = tree_bwd_vmem_bytes(E, n_leaves, rows, block_sites)
+    W = rows if variant.startswith("mxu") else S
+    need = tree_bwd_vmem_bytes(E, n_leaves, rows, block_sites,
+                               op_width=W)
     if need > vmem_budget:
         raise ValueError(
             f"tree backward arena needs {need/2**20:.1f} MiB VMEM "
@@ -274,7 +328,7 @@ def make_tree_diff(schedule: Sequence[Tuple], n_leaves: int, *,
         return _plf_tree_dynamic_call3(
             fwd_arrs, codes3, lcs3, rcs3, ec, ttab, rr, n, n_edges=E,
             n_leaves=n_leaves, n_slots=n_slots, states=S, categories=C,
-            block_sites=block_sites, interpret=interpret, variant="vpu")
+            block_sites=block_sites, interpret=interpret, variant=variant)
 
     @jax.custom_vjp
     def f(codes3, lcs3, rcs3, ec, ttab, rr, n):
@@ -287,16 +341,18 @@ def make_tree_diff(schedule: Sequence[Tuple], n_leaves: int, *,
     def bwd(res, cts):
         glik, _ = cts   # int32 scaler stream has zero cotangent
         codes3, lcs3, rcs3, ec, ttab, rr, n = res
-        tT = functools.partial(transpose_lane_constants,
-                               states=S, categories=C)
-        lcsT3 = jax.vmap(tT)(lcs3)
-        rcsT3 = jax.vmap(tT)(rcs3)
-        ecT = tT(ec)
+        lcsT3 = transpose_operator_stack(lcs3, variant, S, C)
+        rcsT3 = transpose_operator_stack(rcs3, variant, S, C)
+        if variant.startswith("mxu"):
+            ecT = jnp.transpose(ec)
+        else:
+            ecT = transpose_lane_constants(ec, S, C)
         rrT = jnp.transpose(rr)
         gl, gr, gec, grrT = _tree_bwd_call(
             bwd_arrs, codes3, lcs3, rcs3, lcsT3, rcsT3, ec, ecT, ttab,
             rrT, glik, n, n_edges=E, n_leaves=n_leaves, states=S,
-            categories=C, block_sites=block_sites, interpret=interpret)
+            categories=C, block_sites=block_sites, interpret=interpret,
+            variant=variant)
         return (None, gl, gr, gec, jnp.zeros_like(ttab),
                 jnp.transpose(grrT), None)
 

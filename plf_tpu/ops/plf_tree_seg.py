@@ -46,8 +46,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..reference import TWO_TO_THE_32
 from .plf_grad import _op_grad, _stage, transpose_lane_constants
+from .plf_pallas import make_mxu_dots
 from .plf_tree_pallas import (ARENA_VMEM_BUDGET, _expand_tip, _plf_node,
-                              fit_block_sites)
+                              _plf_node_mxu, fit_block_sites)
 
 __all__ = ["plan_segments", "SegPlan", "Segment", "plf_tree_segmented",
            "make_tree_diff_segmented"]
@@ -98,7 +99,8 @@ class SegPlan:
 def plan_segments(schedule: Sequence[Tuple], n_leaves: int, *, rows: int,
                   block_sites: int,
                   cap_ops: Optional[int] = None,
-                  vmem_budget: int = ARENA_VMEM_BUDGET) -> SegPlan:
+                  vmem_budget: int = ARENA_VMEM_BUDGET,
+                  op_width: int = 0) -> SegPlan:
     """Contract a reordered schedule into uniform-shape segments.
 
     ``schedule``: reorder_schedule output; operators are indexed by
@@ -113,9 +115,13 @@ def plan_segments(schedule: Sequence[Tuple], n_leaves: int, *, rows: int,
 
     ``cap_ops``/``block_sites`` auto-tune: the arena (tips + boundary
     inputs + one slot per op + dummy) plus the boundary I/O blocks must
-    fit ``vmem_budget`` at the chosen block.
+    fit ``vmem_budget`` at the chosen block.  ``op_width`` adds the
+    per-op operator-stack footprint to the budget (W = rows for the MXU
+    block-matrix variants — 6 stacks of (seg_ops, rows, W) ride VMEM in
+    the backward kernel; 0/S is negligible and ignored by default).
     """
     E = len(schedule)
+    op_bytes = 6 * rows * op_width * 4     # per-op operator-stack bytes
     if cap_ops is None:
         # Prefer larger site blocks (HBM bandwidth) while keeping
         # segments big enough that boundary checkpoints stay few:
@@ -125,8 +131,7 @@ def plan_segments(schedule: Sequence[Tuple], n_leaves: int, *, rows: int,
         for bs in range(block_sites, 127, -128):
             if block_sites % bs:
                 continue
-            slots = vmem_budget // (rows * bs * 4)
-            cap = max(1, int(slots) // 3)
+            cap = max(1, vmem_budget // (3 * rows * bs * 4 + op_bytes))
             if cap >= 24 or bs == 128:
                 best = (bs, min(cap, max(1, E)))
                 break
@@ -135,11 +140,11 @@ def plan_segments(schedule: Sequence[Tuple], n_leaves: int, *, rows: int,
         block_sites, cap_ops = best
     return _plan_with_cap(schedule, n_leaves, rows=rows,
                           block_sites=block_sites, cap_ops=cap_ops,
-                          vmem_budget=vmem_budget)
+                          vmem_budget=vmem_budget, op_bytes=op_bytes)
 
 
 def _plan_with_cap(schedule, n_leaves, *, rows, block_sites, cap_ops,
-                   vmem_budget) -> SegPlan:
+                   vmem_budget, op_bytes=0) -> SegPlan:
     """Build a plan for ``cap_ops``; on VMEM misfit (the cap heuristic
     bounds MEAN segment size, but a pathological tree shape can make one
     segment's tips+boundaries+ops far exceed it) retry with half the
@@ -238,16 +243,18 @@ def _plan_with_cap(schedule, n_leaves, *, rows, block_sites, cap_ops,
             n_bnd_out=len(outs),
             root_slot=seg_tips + seg_bnd + in_seg[root]))
 
-    # shrink the block until arena + boundary I/O fit
+    # shrink the block until arena + boundary I/O + operator stacks fit
     io_slots = 2 * seg_bnd + seg_out
     fitted = fit_block_sites(seg_tips + seg_bnd + seg_ops + 1 + io_slots,
-                             rows, block_sites, vmem_budget)
+                             rows, block_sites,
+                             vmem_budget - seg_ops * op_bytes)
     if fitted is None:
         if cap_ops > 1:
             return _plan_with_cap(schedule, n_leaves, rows=rows,
                                   block_sites=block_sites,
                                   cap_ops=max(1, cap_ops // 2),
-                                  vmem_budget=vmem_budget)
+                                  vmem_budget=vmem_budget,
+                                  op_bytes=op_bytes)
         raise ValueError(
             f"segment arena ({seg_tips}+{seg_bnd}+{seg_ops} slots) does "
             f"not fit VMEM even at cap_ops=1 (rows={rows})")
@@ -267,7 +274,7 @@ def _seg_fwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
                     ec_ref, ttab_ref, rr_ref,
                     bout_ref, lik_ref, sc_ref, arena_ref, *,
                     seg_tips, seg_bnd, seg_ops, seg_out, states,
-                    categories, block_sites):
+                    categories, block_sites, variant="vpu"):
     S, C = states, categories
     rows = S * C
     BS = block_sites
@@ -275,6 +282,7 @@ def _seg_fwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
     site0 = pl.program_id(0) * BS
     idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
     valid = idx < n_ref[0]
+    is_mxu = variant.startswith("mxu")
 
     def preload_tip(t, _):
         arena_ref[t] = _expand_tip(codes_ref[t], ttab_ref)
@@ -310,9 +318,13 @@ def _seg_fwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
         rcv = rcs_ref[i]
         x1 = arena_ref[lsrc_ref[i]]
         x2 = arena_ref[rsrc_ref[i]]
-        x3, mask = _plf_node(x1, x2, lambda a: lcv[:, a:a + 1],
-                             lambda a: rcv[:, a:a + 1], ec_ref, valid,
-                             S, C)
+        if is_mxu:
+            x3, mask = _plf_node_mxu(x1, x2, lcv, rcv, ec_ref[...],
+                                     valid, variant=variant)
+        else:
+            x3, mask = _plf_node(x1, x2, lambda a: lcv[:, a:a + 1],
+                                 lambda a: rcv[:, a:a + 1], ec_ref,
+                                 valid, S, C)
         arena_ref[seg_tips + seg_bnd + i] = x3
         return scaler + mask * ovalid_ref[i]
 
@@ -336,21 +348,23 @@ def _seg_fwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("seg_tips", "seg_bnd", "seg_ops", "seg_out",
-                     "states", "categories", "block_sites", "interpret"))
+                     "states", "categories", "block_sites", "interpret",
+                     "variant"))
 def _seg_fwd_call(seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, ec, ttab,
                   rr, n, *, seg_tips, seg_bnd, seg_ops, seg_out, states,
-                  categories, block_sites, interpret):
+                  categories, block_sites, interpret, variant="vpu"):
     S, C = states, categories
     rows = S * C
     n_pad = codes_seg.shape[-1]
     grid = (n_pad // block_sites,)
     n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
     ncode = ttab.shape[-1]
+    W = rows if variant.startswith("mxu") else S
 
     kernel = functools.partial(
         _seg_fwd_kernel, seg_tips=seg_tips, seg_bnd=seg_bnd,
         seg_ops=seg_ops, seg_out=seg_out, states=S, categories=C,
-        block_sites=block_sites)
+        block_sites=block_sites, variant=variant)
     nm3 = lambda i, *_: (0, 0, i)
     c0 = lambda i, *_: (0, 0)
     c03 = lambda i, *_: (0, 0, 0)
@@ -364,11 +378,11 @@ def _seg_fwd_call(seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, ec, ttab,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((seg_bnd, rows, block_sites), nm3,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((seg_ops, rows, S), c03,
+                pl.BlockSpec((seg_ops, rows, W), c03,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((seg_ops, rows, S), c03,
+                pl.BlockSpec((seg_ops, rows, W), c03,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, S), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, W), c0, memory_space=pltpu.VMEM),
                 pl.BlockSpec((rows, ncode), c0, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, rows), c0, memory_space=pltpu.VMEM),
             ],
@@ -450,10 +464,11 @@ def _stacked_plan(plan: SegPlan):
     jax.jit,
     static_argnames=("n_boundaries", "seg_tips", "seg_bnd", "seg_ops",
                      "seg_out", "states", "categories", "block_sites",
-                     "interpret"))
+                     "interpret", "variant"))
 def _seg_scan_fwd(xs, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
                   n_boundaries, seg_tips, seg_bnd, seg_ops, seg_out,
-                  states, categories, block_sites, interpret):
+                  states, categories, block_sites, interpret,
+                  variant="vpu"):
     """One lax.scan over the stacked segments (module-level jit so the
     eager path caches its compile across calls — a per-call scan-body
     closure would re-trace every evaluation)."""
@@ -473,7 +488,8 @@ def _seg_scan_fwd(xs, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
             codes_seg, bnd_in, lcs_seg, rcs_seg, ec, ttab, rr, n,
             seg_tips=seg_tips, seg_bnd=seg_bnd, seg_ops=seg_ops,
             seg_out=seg_out, states=states, categories=categories,
-            block_sites=block_sites, interpret=interpret)
+            block_sites=block_sites, interpret=interpret,
+            variant=variant)
         bbuf = bbuf.at[x["gout_idx"]].set(bout)
         return (bbuf, sc_tot + sc), lik
 
@@ -482,7 +498,7 @@ def _seg_scan_fwd(xs, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
 
 
 def _run_forward(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
-                 states, categories, interpret):
+                 states, categories, interpret, variant="vpu"):
     """Scan the per-segment dispatches; returns (lik, sc, bnd_buffer).
 
     ``bnd_buffer``: (n_boundaries+1, rows, n_pad) — every boundary CLV
@@ -496,12 +512,13 @@ def _run_forward(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
         n_boundaries=plan.n_boundaries, seg_tips=plan.seg_tips,
         seg_bnd=plan.seg_bnd, seg_ops=plan.seg_ops,
         seg_out=plan.seg_out, states=states, categories=categories,
-        block_sites=plan.block_sites, interpret=interpret)
+        block_sites=plan.block_sites, interpret=interpret,
+        variant=variant)
 
 
 def plf_tree_segmented(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n,
                        *, states: int = 4, categories: int = 4,
-                       interpret: bool = False):
+                       interpret: bool = False, variant: str = "vpu"):
     """Segmented whole-tree likelihood forward.
 
     Same contract as plf_tree_pallas_dynamic's leading-dim form:
@@ -511,7 +528,7 @@ def plf_tree_segmented(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n,
     """
     lik, sc, _ = _run_forward(plan, codes3, lcs3, rcs3, ec, ttab, rr, n,
                               states=states, categories=categories,
-                              interpret=interpret)
+                              interpret=interpret, variant=variant)
     return lik, sc
 
 
@@ -526,7 +543,8 @@ def _seg_bwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
                     rrT_ref, glik_ref, gbout_ref,
                     gl_ref, gr_ref, gec_ref, grrT_ref, gbnd_ref,
                     arena_ref, fac_ref, *, seg_tips, seg_bnd, seg_ops,
-                    seg_out, states, categories, block_sites):
+                    seg_out, states, categories, block_sites,
+                    variant="vpu"):
     S, C = states, categories
     rows = S * C
     BS = block_sites
@@ -534,6 +552,9 @@ def _seg_bwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
     site0 = pl.program_id(0) * BS
     idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
     valid = idx < n_ref[0]
+    is_mxu = variant.startswith("mxu")
+    if is_mxu:
+        dot, dot_t = make_mxu_dots(variant)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -573,9 +594,13 @@ def _seg_bwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
         rcv = rcs_ref[i]
         x1 = arena_ref[lsrc_ref[i]]
         x2 = arena_ref[rsrc_ref[i]]
-        x3, mask = _plf_node(x1, x2, lambda a: lcv[:, a:a + 1],
-                             lambda a: rcv[:, a:a + 1], ec_ref, valid,
-                             S, C)
+        if is_mxu:
+            x3, mask = _plf_node_mxu(x1, x2, lcv, rcv, ec_ref[...],
+                                     valid, variant=variant)
+        else:
+            x3, mask = _plf_node(x1, x2, lambda a: lcv[:, a:a + 1],
+                                 lambda a: rcv[:, a:a + 1], ec_ref,
+                                 valid, S, C)
         arena_ref[seg_tips + seg_bnd + i] = x3
         fac_ref[i] = jnp.where(mask > 0, jnp.float32(TWO_TO_THE_32),
                                jnp.float32(1.0))
@@ -598,6 +623,8 @@ def _seg_bwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
     jax.lax.fori_loop(0, seg_out, restore, 0)
 
     # ---- phase 2: reverse sweep (slots flip CLV -> adjoint) -------------
+    # (adjoint identities as in plf_tree_grad._tree_bwd_kernel; the MXU
+    # branch runs them as block matmuls at the variant's pass count)
     def bwd_body(j, _):
         i = seg_ops - 1 - j
         ow = ovalid_ref[i].astype(jnp.float32)
@@ -607,16 +634,30 @@ def _seg_bwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
         rcv = rcs_ref[i]
         x1 = arena_ref[lsrc_ref[i]]
         x2 = arena_ref[rsrc_ref[i]]
-        u1 = _stage(x1, lcv, S, C)
-        u2 = _stage(x2, rcv, S, C)
-        g_p = _stage(g_y, ecT_ref, S, C)
-        g_u1 = g_p * u2
-        g_u2 = g_p * u1
-        gl_ref[i] += _op_grad(x1, g_u1, S, C)
-        gr_ref[i] += _op_grad(x2, g_u2, S, C)
-        gec_ref[...] += _op_grad(u1 * u2, g_y, S, C)
-        arena_ref[lsrc_ref[i]] = _stage(g_u1, lcsT_ref[i], S, C)
-        arena_ref[rsrc_ref[i]] = _stage(g_u2, rcsT_ref[i], S, C)
+        if is_mxu:
+            u1 = dot(lcv, x1)
+            u2 = dot(rcv, x2)
+            g_p = dot(ecT_ref[...], g_y)
+            g_u1 = g_p * u2
+            g_u2 = g_p * u1
+            gl_ref[i] += dot_t(g_u1, x1)
+            gr_ref[i] += dot_t(g_u2, x2)
+            gec_ref[...] += dot_t(g_y, u1 * u2)
+            gx1 = dot(lcsT_ref[i], g_u1)
+            gx2 = dot(rcsT_ref[i], g_u2)
+        else:
+            u1 = _stage(x1, lcv, S, C)
+            u2 = _stage(x2, rcv, S, C)
+            g_p = _stage(g_y, ecT_ref, S, C)
+            g_u1 = g_p * u2
+            g_u2 = g_p * u1
+            gl_ref[i] += _op_grad(x1, g_u1, S, C)
+            gr_ref[i] += _op_grad(x2, g_u2, S, C)
+            gec_ref[...] += _op_grad(u1 * u2, g_y, S, C)
+            gx1 = _stage(g_u1, lcsT_ref[i], S, C)
+            gx2 = _stage(g_u2, rcsT_ref[i], S, C)
+        arena_ref[lsrc_ref[i]] = gx1
+        arena_ref[rsrc_ref[i]] = gx2
         return 0
 
     jax.lax.fori_loop(0, seg_ops, bwd_body, 0)
@@ -632,27 +673,29 @@ def _seg_bwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("seg_tips", "seg_bnd", "seg_ops", "seg_out",
-                     "states", "categories", "block_sites", "interpret"))
+                     "states", "categories", "block_sites", "interpret",
+                     "variant"))
 def _seg_bwd_call(seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, lcsT_seg,
                   rcsT_seg, ec, ecT, ttab, rrT, glik, gbout, n, *,
                   seg_tips, seg_bnd, seg_ops, seg_out, states, categories,
-                  block_sites, interpret):
+                  block_sites, interpret, variant="vpu"):
     S, C = states, categories
     rows = S * C
     n_pad = codes_seg.shape[-1]
     grid = (n_pad // block_sites,)
     n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
     ncode = ttab.shape[-1]
+    W = rows if variant.startswith("mxu") else S
 
     kernel = functools.partial(
         _seg_bwd_kernel, seg_tips=seg_tips, seg_bnd=seg_bnd,
         seg_ops=seg_ops, seg_out=seg_out, states=S, categories=C,
-        block_sites=block_sites)
+        block_sites=block_sites, variant=variant)
     nm3 = lambda i, *_: (0, 0, i)
     c0 = lambda i, *_: (0, 0)
     c03 = lambda i, *_: (0, 0, 0)
-    op3 = pl.BlockSpec((seg_ops, rows, S), c03, memory_space=pltpu.VMEM)
-    const = pl.BlockSpec((rows, S), c0, memory_space=pltpu.VMEM)
+    op3 = pl.BlockSpec((seg_ops, rows, W), c03, memory_space=pltpu.VMEM)
+    const = pl.BlockSpec((rows, W), c0, memory_space=pltpu.VMEM)
     gl, gr, gec, grrT, gbnd = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -685,9 +728,9 @@ def _seg_bwd_call(seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, lcsT_seg,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((seg_ops, rows, S), jnp.float32),
-            jax.ShapeDtypeStruct((seg_ops, rows, S), jnp.float32),
-            jax.ShapeDtypeStruct((rows, S), jnp.float32),
+            jax.ShapeDtypeStruct((seg_ops, rows, W), jnp.float32),
+            jax.ShapeDtypeStruct((seg_ops, rows, W), jnp.float32),
+            jax.ShapeDtypeStruct((rows, W), jnp.float32),
             jax.ShapeDtypeStruct((rows, 1), jnp.float32),
             jax.ShapeDtypeStruct((seg_bnd, rows, n_pad), jnp.float32),
         ],
@@ -708,10 +751,11 @@ def _seg_bwd_call(seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, lcsT_seg,
     jax.jit,
     static_argnames=("n_boundaries", "seg_tips", "seg_bnd", "seg_ops",
                      "seg_out", "states", "categories", "block_sites",
-                     "interpret"))
+                     "interpret", "variant"))
 def _seg_scan_bwd(xs, codes3, lcs3, rcs3, ec, ttab, rr, n, bbuf, glik, *,
                   n_boundaries, seg_tips, seg_bnd, seg_ops, seg_out,
-                  states, categories, block_sites, interpret):
+                  states, categories, block_sites, interpret,
+                  variant="vpu"):
     """Reverse lax.scan over the stacked segments: the adjoint buffer
     gbuf mirrors the forward's boundary buffer (consumers run before
     producers in reverse order, so a segment's boundary-output adjoints
@@ -720,9 +764,14 @@ def _seg_scan_bwd(xs, codes3, lcs3, rcs3, ec, ttab, rr, n, bbuf, glik, *,
     S, C = states, categories
     rows = S * C
     n_pad = codes3.shape[-1]
-    tT = functools.partial(transpose_lane_constants,
-                           states=S, categories=C)
-    ecT = tT(ec)
+    is_mxu = variant.startswith("mxu")
+    if is_mxu:
+        tT = jnp.transpose                  # block-matrix adjoint
+        ecT = jnp.transpose(ec)
+    else:
+        tT = functools.partial(transpose_lane_constants,
+                               states=S, categories=C)
+        ecT = tT(ec)
     rrT = jnp.transpose(rr)
     carry0 = (
         jnp.zeros((n_boundaries + 1, rows, n_pad), jnp.float32),
@@ -745,7 +794,8 @@ def _seg_scan_bwd(xs, codes3, lcs3, rcs3, ec, ttab, rr, n, bbuf, glik, *,
             lcsT_seg, rcsT_seg, ec, ecT, ttab, rrT, gs, gbout, n,
             seg_tips=seg_tips, seg_bnd=seg_bnd, seg_ops=seg_ops,
             seg_out=seg_out, states=S, categories=C,
-            block_sites=block_sites, interpret=interpret)
+            block_sites=block_sites, interpret=interpret,
+            variant=variant)
         # padded ops produce exactly-zero gl/gr rows (ovalid gates the
         # kernel's adjoint seed, and their arena slots are zero-
         # initialised), so scatter-adding them at padding position 0 is
@@ -766,7 +816,8 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
                              block_sites: int = 1024,
                              cap_ops: Optional[int] = None,
                              interpret: bool = False,
-                             vmem_budget: int = ARENA_VMEM_BUDGET):
+                             vmem_budget: int = ARENA_VMEM_BUDGET,
+                             variant: str = "vpu"):
     """Differentiable segmented whole-tree likelihood.
 
     Same contract as ops/plf_tree_grad.make_tree_diff — returns
@@ -779,14 +830,17 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
     """
     S, C = states, categories
     rows = S * C
+    W = rows if variant.startswith("mxu") else S
     plan = plan_segments(schedule, n_leaves, rows=rows,
                          block_sites=block_sites, cap_ops=cap_ops,
-                         vmem_budget=vmem_budget)
+                         vmem_budget=vmem_budget,
+                         op_width=rows if variant.startswith("mxu") else 0)
     E = len(schedule)
 
     def fwd_run(codes3, lcs3, rcs3, ec, ttab, rr, n):
         return _run_forward(plan, codes3, lcs3, rcs3, ec, ttab, rr, n,
-                            states=S, categories=C, interpret=interpret)
+                            states=S, categories=C, interpret=interpret,
+                            variant=variant)
 
     @jax.custom_vjp
     def f(codes3, lcs3, rcs3, ec, ttab, rr, n):
@@ -807,7 +861,8 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
             n_boundaries=plan.n_boundaries, seg_tips=plan.seg_tips,
             seg_bnd=plan.seg_bnd, seg_ops=plan.seg_ops,
             seg_out=plan.seg_out, states=S, categories=C,
-            block_sites=plan.block_sites, interpret=interpret)
+            block_sites=plan.block_sites, interpret=interpret,
+            variant=variant)
         return (None, gl_tot, gr_tot, gec_tot, jnp.zeros_like(ttab),
                 jnp.transpose(grrT_tot), None)
 

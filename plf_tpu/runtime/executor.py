@@ -13,6 +13,23 @@ block until results are consumed.  This path exists for workloads whose
 CLVs originate on the host each call (the reference's benchmark shape);
 production tree traversal keeps CLVs device-resident and never touches
 this.
+
+Two timing modes (``timing_mode=``):
+
+* ``"pipelined"`` (default) — maximum overlap; the per-phase
+  timestamps are ENQUEUE times (async dispatch returns before the
+  copy/kernel lands), so only ``total`` and the wall clock are
+  trustworthy — phase attribution lands in whatever phase finally
+  fences (the reference's "roundtrip" mode has the same property,
+  host_mem.cpp:349-378).
+* ``"fenced"`` — each phase is fenced before its timestamp (the
+  device work of that phase completes first), so hm/msm/mh are
+  accurate per-phase times at the cost of serialization — the TPU
+  analogue of the reference's in-stream queue-enqueued timestamps
+  ("intermediate" mode, host_mem.cpp:294-318, timing.h:36-63).
+  Fencing fetches a scalar derived from the phase's arrays (through
+  the axon relay ``block_until_ready`` can return before device
+  completion; a scalar round-trip cannot).
 """
 
 from __future__ import annotations
@@ -43,9 +60,15 @@ class StreamingExecutor:
     """
 
     def __init__(self, config: Optional[PLFConfig] = None,
-                 inflight: int = 2, device=None):
+                 inflight: int = 2, device=None,
+                 timing_mode: str = "pipelined"):
+        if timing_mode not in ("pipelined", "fenced"):
+            raise ValueError(f"unknown timing_mode {timing_mode!r}")
         self.config = config or PLFConfig()
-        self.inflight = max(1, inflight)
+        # fenced mode serializes phases by construction; >1 in flight
+        # would only blur the attribution it exists to provide
+        self.inflight = 1 if timing_mode == "fenced" else max(1, inflight)
+        self.timing_mode = timing_mode
         self.device = device or jax.devices()[0]
         self.timing = TimingData()
         cfg = self.config
@@ -90,13 +113,26 @@ class StreamingExecutor:
         pending = []
         it = iter(calls)
 
+        fenced = self.timing_mode == "fenced"
+
+        def fence(*arrs):
+            # scalar round-trips force true device completion (see
+            # module docstring; block_until_ready is not enough through
+            # a relayed device)
+            for a in arrs:
+                np.asarray(a[(0,) * a.ndim])
+
         def launch(call):
             begin = t.elapsed_ms()
             n, dev_args = self._upload(call)
+            if fenced:
+                fence(*dev_args)
             t1 = t.elapsed_ms()
             x1l, x2l, lc, rc, ec, w = dev_args
             x3, sc = self._kernel(x1l, x2l, lc, rc, ec, jnp.int32(n))
             inc = jnp.sum(sc[0, :n] * w)
+            if fenced:
+                fence(x3, inc)
             t2 = t.elapsed_ms()
             return (n, x3, inc, begin, t1, t2)
 

@@ -1,0 +1,148 @@
+"""MXU precision ladder through the gradient + segmented engines.
+
+Round-3 left the whole-tree VJP (ops/plf_tree_grad.py) and the segmented
+engine (ops/plf_tree_seg.py) VPU-only, so S>=20 traversal-at-scale and
+ALL training ran the slow elementwise form while the single-node ladder
+(mxu / mxu_3x / mxu_bf16) was already measured 1.5-4.6x faster for the
+same math.  These tests pin the round-4 plumbing: every variant flows
+through the forward AND checkpointed-backward tree kernels and the
+segmented scan, and gradients match the XLA autodiff oracle — the
+reference's own optimisation story was walking exactly this ladder on
+its fused kernel (/root/reference/aie/src/128x1PLFwindow2in/kernels/
+combine_and_mac_EV.cpp:8,45,78).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from plf_tpu.config import PLFConfig
+from plf_tpu.models import PhyloModel, hky85, random_tree
+from plf_tpu.models.optimize import tree_loglik_fn
+from plf_tpu.models.substitution import random_gtr
+
+
+def _make_pm(n_leaves=6, n=200, block=128, seed=0, states=4,
+             variant="mxu", categories=4):
+    tree = random_tree(n_leaves, seed=seed)
+    model = hky85(2.0) if states == 4 else random_gtr(states, seed)
+    rng = np.random.default_rng(seed)
+    tips = rng.integers(0, states, size=(n_leaves, n))
+    cfg = PLFConfig(states=states, categories=categories,
+                    block_sites=block, interpret=True,
+                    kernel_variant=variant)
+    return PhyloModel(tree, model, tips, alpha=0.5, config=cfg)
+
+
+def _grads(pm, backend):
+    fn, t0 = tree_loglik_fn(pm, backend=backend)
+    val, g = jax.value_and_grad(fn)(jnp.asarray(t0))
+    return float(val), np.asarray(g)
+
+
+# --------------------------------------------------------------------------
+# make_tree_diff (single-segment whole-tree VJP) with MXU variants
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("variant", ["mxu", "mxu_3x"])
+def test_tree_backend_mxu_grads_match_xla(variant):
+    pm = _make_pm(variant=variant)
+    v_m, g_m = _grads(pm, "tree")
+    v_x, g_x = _grads(pm, "xla")
+    # mxu (HIGHEST) is ~1 ULP; mxu_3x drops the lo*lo term (~1e-5 rel)
+    rel = 1e-5 if variant == "mxu" else 1e-4
+    assert v_m == pytest.approx(v_x, rel=rel)
+    np.testing.assert_allclose(g_m, g_x, rtol=5e-4, atol=1e-4)
+
+
+def test_tree_backend_mxu_protein_grads():
+    pm = _make_pm(n_leaves=5, n=100, states=20, variant="mxu",
+                  categories=2)
+    v_m, g_m = _grads(pm, "tree")
+    v_x, g_x = _grads(pm, "xla")
+    assert v_m == pytest.approx(v_x, rel=1e-5)
+    np.testing.assert_allclose(g_m, g_x, rtol=5e-4, atol=1e-4)
+
+
+def test_tree_backend_mxu_underflow_rescale_grads():
+    """Deep caterpillar forces 2^32 rescales; the factor is locally
+    constant so MXU-variant gradients must still match the oracle."""
+    from plf_tpu.models import parse_newick
+
+    n_leaves = 40
+    newick = "A0:0.1"
+    for i in range(1, n_leaves):
+        newick = f"({newick},A{i}:0.1):0.1"
+    tree = parse_newick(newick + ";")
+    rng = np.random.default_rng(7)
+    tips = rng.integers(0, 4, size=(n_leaves, 256))
+    pm = PhyloModel(tree, hky85(2.0), tips, alpha=0.5,
+                    config=PLFConfig(block_sites=128, interpret=True,
+                                     kernel_variant="mxu"))
+    assert pm.log_likelihood().scaler_total > 0, "case must rescale"
+    v_m, g_m = _grads(pm, "tree")
+    v_x, g_x = _grads(pm, "xla")
+    assert v_m == pytest.approx(v_x, rel=1e-5)
+    np.testing.assert_allclose(g_m, g_x, rtol=5e-4, atol=1e-5)
+
+
+# --------------------------------------------------------------------------
+# Segmented engine with MXU variants (forward + VJP)
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("variant", ["mxu", "mxu_3x"])
+def test_segmented_forward_mxu_matches_fused(variant):
+    """Segmented forward at an MXU variant == the fused tree kernel at
+    the same variant (identical op order per node ⇒ same rounding)."""
+    pm = _make_pm(n_leaves=12, n=300, variant=variant, seed=3)
+    seg = pm.log_likelihood_segmented()
+    fused = pm.log_likelihood_fused()
+    assert seg.log_likelihood == pytest.approx(fused.log_likelihood,
+                                               rel=1e-7)
+    assert seg.scaler_total == fused.scaler_total
+
+
+def test_segmented_backend_mxu_grads_match_xla():
+    pm = _make_pm(n_leaves=10, n=200, variant="mxu", seed=4)
+    fn_s, t0 = tree_loglik_fn(pm, backend="segmented")
+    v_s, g_s = jax.value_and_grad(fn_s)(jnp.asarray(t0))
+    v_x, g_x = _grads(pm, "xla")
+    assert float(v_s) == pytest.approx(v_x, rel=1e-5)
+    np.testing.assert_allclose(np.asarray(g_s), g_x, rtol=5e-4,
+                               atol=1e-4)
+
+
+def test_segmented_backend_mxu_protein_grads():
+    pm = _make_pm(n_leaves=6, n=100, states=20, variant="mxu_3x",
+                  categories=2, seed=5)
+    fn_s, t0 = tree_loglik_fn(pm, backend="segmented")
+    v_s, g_s = jax.value_and_grad(fn_s)(jnp.asarray(t0))
+    v_x, g_x = _grads(pm, "xla")
+    assert float(v_s) == pytest.approx(v_x, rel=1e-4)
+    np.testing.assert_allclose(np.asarray(g_s), g_x, rtol=2e-3,
+                               atol=2e-4)
+
+
+def test_auto_routes_mxu_training_to_tree_backends():
+    """auto must not send MXU-variant configs to the VPU-only per-node
+    path (the round-3 gap: protein training ran at VPU speed)."""
+    pm = _make_pm(states=20, variant="mxu", categories=2)
+    # interpret/CPU resolves auto to xla; assert the routing helper
+    # directly instead of the device-dependent entry.
+    from plf_tpu.models.optimize import _tree_backend_block
+    bs = _tree_backend_block(pm)
+    assert bs is not None  # small tree: single-segment backward fits
+    # the MXU operator stacks are counted against VMEM
+    from plf_tpu.ops.plf_tree_grad import tree_bwd_vmem_bytes
+    assert (tree_bwd_vmem_bytes(9, 6, 40, 128, op_width=40)
+            > tree_bwd_vmem_bytes(9, 6, 40, 128))
+
+
+def test_resolved_variant_auto_protein_is_mxu_3x():
+    assert PLFConfig(states=20, kernel_variant="auto"
+                     ).resolved_kernel_variant == "mxu_3x"
+    assert PLFConfig(states=4, kernel_variant="auto"
+                     ).resolved_kernel_variant == "vpu"
