@@ -136,6 +136,53 @@ def bench_fused(n_sites=1 << 24, iters=None, block=16384, states=4,
 BASELINE_SITES_PER_SEC = 2.7e9  # 9 instances x 300 Msites/s PLIO bound
 
 
+def probe_ceiling(n_sites=1 << 24, rows=16, k_pair=(2, 10)):
+    """Same-lease practical HBM ceiling: x3 = x1 + x2 chained scan — the
+    identical 2R+1W stream pattern as the fused PLF (the reference
+    reports per-phase bandwidth next to its timings, timing.h:101-151;
+    this is the TPU analogue).  The chip's effective ceiling DRIFTS
+    between leases (605-730 GB/s measured across rounds), so the
+    roofline fraction is only meaningful against a probe from the SAME
+    lease — which is why it ships inside bench.py.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        k1, k2 = jax.random.split(key)
+        return (jax.random.uniform(k1, (rows, n_sites), jnp.float32),
+                jax.random.uniform(k2, (rows, n_sites), jnp.float32))
+
+    x1, x2 = gen(jax.random.key(0))
+    gb = rows * n_sites * 4 / 1e9
+
+    def chained(K):
+        @jax.jit
+        def f(a, b):
+            def body(carry, _):
+                return carry + b, ()
+            o, _ = jax.lax.scan(body, a, None, length=K)
+            return jnp.sum(o[:, :8])
+        return f
+
+    def timed(K, reps=4):
+        f = chained(K)
+        float(np.asarray(f(x1, x2)))
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(np.asarray(f(x1, x2)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_lo, t_hi = timed(k_pair[0]), timed(k_pair[1])
+    per = max((t_hi - t_lo) / (k_pair[1] - k_pair[0]), 1e-9)
+    ceiling = 3 * gb / per
+    log(f"same-lease 2R+1W HBM ceiling probe: {ceiling:.0f} GB/s")
+    return ceiling
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sites", type=int, default=1 << 24)
@@ -180,12 +227,22 @@ def main():
             log(f"tree fused: {type(e).__name__}: {e}")
 
     sps = bench_fused(n_sites=args.sites, block=args.block)
-    print(json.dumps({
+    record = {
         "metric": "plf_dna_sites_per_sec",
         "value": round(sps, 1),
         "unit": "sites/s",
         "vs_baseline": round(sps / BASELINE_SITES_PER_SEC, 4),
-    }))
+    }
+    if jax.default_backend() == "tpu":
+        try:
+            ceiling = probe_ceiling(n_sites=args.sites)
+            eff_gbs = sps * (3 * 16 * 4 + 4) / 1e9
+            record["roofline_pct_same_lease"] = round(
+                100.0 * eff_gbs / ceiling, 1)
+            record["hbm_ceiling_gbs_same_lease"] = round(ceiling, 1)
+        except Exception as e:       # the headline number must survive
+            log(f"ceiling probe failed: {type(e).__name__}: {e}")
+    print(json.dumps(record))
 
 
 def bench_gen(block=8192, n_blocks=256, inner_iters=8, reps=3):

@@ -31,7 +31,7 @@ from plf_tpu.models import PhyloModel, hky85, random_tree  # noqa: E402
 from plf_tpu.models.optimize import tree_loglik_fn  # noqa: E402
 
 print("devices:", jax.devices(), flush=True)
-OUT = os.path.join(os.path.dirname(__file__), "results", "r03_seg.txt")
+OUT = os.path.join(os.path.dirname(__file__), "results", "r04_seg.txt")
 lines = []
 
 

@@ -145,6 +145,60 @@ def run_segmented():
     print("int8 tip codes: bit-identical (fused + segmented)", flush=True)
 
 
+def run_mxu_ladder():
+    """Round-4 MXU precision ladder through training: mxu/mxu_3x
+    forward+backward tree and segmented kernels vs the XLA oracle on
+    real Mosaic (benchmarks/variant_hw_check.py)."""
+    from benchmarks import variant_hw_check
+    variant_hw_check.main(fast=True)
+
+
+def run_batch():
+    """plf_batch (multi-instance mode) + batched segmented scoring on
+    hardware: golden-exact instances; neighbourhood scoring equality."""
+    import numpy as np
+    from plf_tpu.config import PLFConfig
+    from plf_tpu.engine import PLFEngine
+    from plf_tpu.reference import plf_reference
+
+    rng = np.random.default_rng(8)
+    ni, nb = 4, 8192
+    bx1 = rng.random((ni, nb, 16), dtype=np.float32)
+    bx2 = rng.random((ni, nb, 16), dtype=np.float32)
+    bl = rng.random((ni, 4, 4, 4), dtype=np.float32)
+    br = rng.random((ni, 4, 4, 4), dtype=np.float32)
+    bev = rng.random((ni, 4, 4), dtype=np.float32)
+    out = PLFEngine(PLFConfig(block_sites=4096)).plf_batch(
+        bx1, bx2, bl, br, bev)
+    for i in range(ni):
+        x3r, svr, _ = plf_reference(bx1[i], bx2[i], bl[i], br[i], bev[i],
+                                    np.ones(nb, np.int32))
+        np.testing.assert_array_equal(np.asarray(out.x3[i]), x3r)
+        np.testing.assert_array_equal(np.asarray(out.scaler_vector[i]),
+                                      svr)
+    print(f"plf_batch: {ni} instances bit-exact vs golden", flush=True)
+
+    # batched segmented neighbourhood scoring == per-candidate
+    from plf_tpu.models import PhyloModel, hky85, random_tree
+    from plf_tpu.models.phylo import batch_log_likelihood_segmented
+    from plf_tpu.models.search import nni_neighbors
+
+    n_leaves, n = 24, 16384
+    tips = rng.integers(0, 4, size=(n_leaves, n))
+    base = random_tree(n_leaves, seed=9)
+    cands = [base] + nni_neighbors(base)[:3]
+    pms = [PhyloModel(t, hky85(2.0), tips, alpha=0.5,
+                      config=PLFConfig(block_sites=4096))
+           for t in cands]
+    lls = batch_log_likelihood_segmented(pms)
+    for b, pm in enumerate(pms):
+        ref = pm.log_likelihood(method="segmented").log_likelihood
+        assert abs(lls[b] - ref) < 1e-6 * abs(ref), (b, lls[b], ref)
+    assert len({round(float(v), 4) for v in lls}) > 1
+    print(f"batched segmented scoring: {len(pms)} candidates match "
+          f"per-candidate lls", flush=True)
+
+
 def run_bench():
     import bench
     saved = sys.argv
@@ -164,7 +218,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", action="append", default=[],
                     choices=["hw_verify", "treegrad", "segmented",
-                             "bench", "overlap"])
+                             "mxu_ladder", "batch", "bench", "overlap"])
     args = ap.parse_args()
 
     import jax
@@ -173,6 +227,8 @@ def main():
     all_sections = [("hw_verify", run_hw_verify),
                     ("treegrad", run_treegrad),
                     ("segmented", run_segmented),
+                    ("mxu_ladder", run_mxu_ladder),
+                    ("batch", run_batch),
                     ("bench", run_bench),
                     ("overlap", run_overlap)]
     for name, fn in all_sections:

@@ -50,11 +50,19 @@ def check(states, variant, backend, n_leaves=8, n=4096, categories=4):
     return ok
 
 
-ok = True
-ok &= check(4, "mxu", "tree")
-ok &= check(4, "mxu_3x", "tree")
-ok &= check(4, "mxu", "segmented", n_leaves=16)
-ok &= check(20, "mxu_3x", "tree", n_leaves=6, n=2048, categories=4)
-ok &= check(20, "mxu_3x", "segmented", n_leaves=12, n=2048, categories=4)
-print("ALL OK" if ok else "FAILURES", flush=True)
-sys.exit(0 if ok else 1)
+def main(fast=False):
+    ok = True
+    if not fast:
+        ok &= check(4, "mxu", "tree")
+        ok &= check(4, "mxu", "segmented", n_leaves=16)
+    ok &= check(4, "mxu_3x", "tree")
+    ok &= check(20, "mxu_3x", "tree", n_leaves=6, n=2048, categories=4)
+    ok &= check(20, "mxu_3x", "segmented", n_leaves=12, n=2048,
+                categories=4)
+    print("ALL OK" if ok else "FAILURES", flush=True)
+    if not ok:
+        raise AssertionError("MXU-ladder gradient checks failed")
+
+
+if __name__ == "__main__":
+    main()

@@ -100,16 +100,21 @@ def run(sites_per_device: int, out_path: str, block: int = 1024):
             "sites_per_device": sites_per_device,
             "sites_total": n_sites,
             "wall_s": round(wall, 6),
-            "sites_per_s": round(rate, 1),
-            "efficiency": round(rate / (rate1 * n_dev), 4),
+            "sites_per_s": round(rate, 1) if perf_valid else "n/a",
+            # virtual CPU devices time-share one host: the efficiency
+            # column is NOISE there and must not be misread as a
+            # weak-scaling result — only the bit-invariance assertion
+            # above is load-bearing in the protocol run
+            "efficiency": (round(rate / (rate1 * n_dev), 4)
+                           if perf_valid else "n/a"),
             "ll_per_site": ll_per_site_ref,
             "perf_valid": perf_valid,
         })
         mode = ("TPU" if perf_valid else
                 "virtual-CPU protocol run — timings NOT performance data")
+        eff = rows[-1]["efficiency"]
         print(f"N={n_dev}: {n_sites} sites, {wall:.3f}s, "
-              f"{rate/1e6:.2f} Msites/s, "
-              f"eff={rows[-1]['efficiency']:.2f} ({mode})")
+              f"{rate/1e6:.2f} Msites/s, eff={eff} ({mode})")
 
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w", newline="") as f:

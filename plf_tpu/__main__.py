@@ -61,8 +61,14 @@ def infer_main(argv):
     ap.add_argument("--model", default="jc",
                     choices=["auto", "jc", "hky", "gtr", "lg", "wag",
                              "jtt", "dayhoff", "mtrev", "cprev"],
-                    help="'auto' runs AICc model selection over the "
-                         "JC/HKY/GTR ±G ladder first (models/selection)")
+                    help="'auto' runs AICc model selection first "
+                         "(models/selection): the JC/HKY/GTR +G/+I "
+                         "ladder for DNA, the LG/WAG/JTT/Dayhoff "
+                         "empirical ladder for protein data")
+    ap.add_argument("--seq-type", default="auto",
+                    choices=["auto", "dna", "protein"],
+                    help="alignment alphabet; 'auto' detects protein "
+                         "from amino-acid-only letters (E/F/I/L/P/Q/Z)")
     ap.add_argument("--kappa", type=float, default=2.0,
                     help="HKY transition/transversion ratio")
     ap.add_argument("--alpha", type=float, default=None,
@@ -82,22 +88,32 @@ def infer_main(argv):
     with open(args.alignment) as f:
         text = f.read()
     from .models.substitution import BUILTIN_PROTEIN_MODELS
-    protein = args.model in BUILTIN_PROTEIN_MODELS
+    if args.seq_type == "auto":
+        protein = (args.model in BUILTIN_PROTEIN_MODELS
+                   or _detect_protein(text))
+    else:
+        protein = args.seq_type == "protein"
     aln = _parse_alignment(text, protein=protein)
-    if protein:
+    if args.model in BUILTIN_PROTEIN_MODELS:
         model = empirical_protein(args.model)
     elif args.model == "auto":
-        # ModelTest step: rank JC/HKY/GTR ±G by AICc on an NJ starting
-        # tree, then run the full inference under the winner.
+        # ModelTest step: rank the candidate ladder by AICc on an NJ
+        # starting tree, then run the full inference under the winner
+        # (DNA: JC/HKY/GTR +G/+I; protein: the empirical-table ladder).
+        from .config import PLFConfig
         from .models import model_select, nj_tree
         comp = aln.compressed()
         start = nj_tree(comp.codes, comp.weights)
-        sel = model_select(start, comp.codes, wgt=comp.weights)
+        cfg_sel = PLFConfig(states=20) if protein else None
+        sel = model_select(start, comp.codes, wgt=comp.weights,
+                           config=cfg_sel)
         log("model selection (AICc):\n" + sel.table())
         log(f"selected: {sel.best.name}")
         model = sel.best.model
         if sel.best.alpha is not None and args.alpha is None:
             args.alpha = sel.best.alpha
+        if sel.best.p_inv is not None and args.pinv is None:
+            args.pinv = sel.best.p_inv
         args.model = sel.best.name.partition("+")[0].lower()
     else:
         model = {"jc": jc69, "hky": lambda: hky85(args.kappa),
@@ -115,6 +131,18 @@ def infer_main(argv):
             f.write(res.newick + "\n")
         log(f"wrote {args.out}")
     return 0
+
+
+def _detect_protein(text: str) -> bool:
+    """Protein if any sequence letter is amino-acid-only (not in the
+    DNA IUPAC set)."""
+    from .io.alignment import parse_fasta, parse_phylip
+    if text.lstrip().startswith(">"):
+        _, seqs = parse_fasta(text)
+    else:
+        _, seqs = parse_phylip(text)
+    dna = set("ACGTUNRYSWKMBDHV-?.acgtunryswkmbdhv")
+    return any(ch not in dna for seq in seqs for ch in seq)
 
 
 def _parse_alignment(text: str, protein: bool = False):

@@ -79,9 +79,24 @@ class PartitionedModel:
             log_likelihood=float(sum(r.log_likelihood for r in results)),
             per_partition=results)
 
+    def log_likelihood_sharded(self, mesh=None) -> PartitionedResult:
+        """Partitioned likelihood with every partition's site axis
+        sharded over the device mesh: each partition runs the sharded
+        fused tree kernel (PhyloModel.log_likelihood_sharded — one psum
+        per partition), totals sum on host.  Partitions are independent
+        site ranges, so this is the full data-parallel evaluation of a
+        production partitioned analysis (beyond-reference scope the
+        reference README wishes for, /root/reference/README.md:201-205).
+        """
+        results = [pm.log_likelihood_sharded(mesh=mesh)
+                   for pm in self.models]
+        return PartitionedResult(
+            log_likelihood=float(sum(r.log_likelihood for r in results)),
+            per_partition=results)
+
     # -- differentiable joint objective --------------------------------------
 
-    def loglik_fn(self, proportional: bool = True):
+    def loglik_fn(self, proportional: bool = True, mesh=None):
         """Joint jittable objective over shared branch lengths.
 
         Returns ``(fn, t0, scales0)`` with
@@ -89,6 +104,11 @@ class PartitionedModel:
         ``log_scales[0]`` should be held at 0 by the caller when fitting
         (only ratios are identifiable alongside free branch lengths);
         with ``proportional=False`` scales are ignored entirely.
+
+        With ``mesh`` each partition's likelihood (forward AND backward)
+        runs site-sharded under shard_map (the checkpointed whole-tree /
+        segmented VJP per shard) — the joint fit differentiates a fully
+        distributed objective.
         """
         import jax
         import jax.numpy as jnp
@@ -98,7 +118,7 @@ class PartitionedModel:
         fns = []
         t0 = None
         for pm in self.models:
-            fn, t0_p = tree_loglik_fn(pm, with_rates=True)
+            fn, t0_p = tree_loglik_fn(pm, with_rates=True, mesh=mesh)
             fns.append((fn, jnp.asarray(pm.rates, jnp.float32)))
             t0 = t0_p if t0 is None else t0
 
@@ -114,7 +134,8 @@ class PartitionedModel:
         return jax.jit(joint), t0, scales0
 
     def optimize(self, steps: int = 100, learning_rate: float = 0.02,
-                 min_length: float = 1e-6, proportional: bool = True):
+                 min_length: float = 1e-6, proportional: bool = True,
+                 mesh=None):
         """Jointly fit shared branch lengths (+ per-partition multipliers).
 
         Returns ``(t_opt, scales_opt, ll_before, ll_after)``; the first
@@ -124,7 +145,8 @@ class PartitionedModel:
         import jax.numpy as jnp
         import optax
 
-        fn, t0, scales0 = self.loglik_fn(proportional=proportional)
+        fn, t0, scales0 = self.loglik_fn(proportional=proportional,
+                                         mesh=mesh)
         P = len(self.partitions)
         params0 = {
             "log_t": jnp.log(jnp.maximum(jnp.asarray(t0), min_length)),

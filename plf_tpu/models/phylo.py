@@ -663,6 +663,60 @@ def batch_log_likelihood(pms) -> np.ndarray:
     return np.asarray(parts, np.float64).sum(axis=1)
 
 
+def batch_log_likelihood_segmented(pms) -> np.ndarray:
+    """Score many same-shape topologies via the SEGMENTED engine in one
+    compiled program — the big-taxa extension of
+    :func:`batch_log_likelihood` for neighbourhoods whose single-arena
+    register machine does not fit VMEM (where round-3 search fell back
+    to one dispatch per candidate).  Candidate plans pad to one uniform
+    shape (ops/plf_tree_seg.stack_plans) and a ``lax.map`` walks them;
+    per-candidate cost is O(#segments) dispatches, compile cost is one
+    kernel + one scan.
+
+    Returns (B,) float64 log-likelihoods (fp32 partial sums, host fp64
+    final reduction — the batch_log_likelihood precision policy).
+    Reference anchor: 9-instance parallel scoring,
+    /root/reference/app/src/include.h:181-195.
+    """
+    from ..ops.plf_tree_pallas import reorder_schedule
+    from ..ops.plf_tree_seg import (batched_seg_loglik_parts,
+                                    plan_segments, stack_plans)
+
+    pm0 = pms[0]
+    cfg = pm0.config
+    if cfg.backend is Backend.XLA:
+        raise ValueError("segmented batch scoring needs a Pallas backend")
+    S, C = cfg.states, cfg.categories
+    variant = cfg.resolved_kernel_variant
+    n_leaves = pm0.tree.n_leaves
+    E = len(pm0.schedule)
+    for pm in pms[1:]:
+        if (len(pm.schedule) != E or pm.tree.n_leaves != n_leaves
+                or pm.n_pad != pm0.n_pad or pm.config != cfg):
+            raise ValueError(
+                "batch_log_likelihood_segmented needs same-shape models")
+    if pm0.ascertainment is not None:
+        raise ValueError("ascertainment not supported in the batch path")
+
+    plans, lcs_l, rcs_l = [], [], []
+    for pm in pms:
+        plan, codes3, lcs3, rcs3, ttab = pm._segmented_inputs()
+        plans.append(plan)
+        lcs_l.append(lcs3)
+        rcs_l.append(rcs3)
+    xs_b_np, dims = stack_plans(plans, cfg.rows)
+    xs_b = {k: jnp.asarray(v) for k, v in xs_b_np.items()}
+    _, codes3, _, _, ttab = pm0._segmented_inputs()
+    interpret = cfg.interpret or (jax.default_backend() != "tpu")
+    n_parts = pm0.n_pad // cfg.block_sites
+    parts = batched_seg_loglik_parts(
+        xs_b, codes3, jnp.stack(lcs_l), jnp.stack(rcs_l), pm0._ec, ttab,
+        pm0._root_rows, pm0._wgt_dev.astype(jnp.float32),
+        jnp.int32(pm0.n_sites), states=S, categories=C,
+        interpret=interpret, variant=variant, n_parts=n_parts, **dims)
+    return np.asarray(parts, np.float64).sum(axis=1)
+
+
 def _unlane_branch(lc, S, C):
     """Invert layout.branch_to_lane_constants (XLA-backend path)."""
     b = lc.reshape(S, C, S)            # [k, c, a]

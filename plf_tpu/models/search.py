@@ -204,9 +204,15 @@ def _hill_climb(tree: Tree, model: SubstitutionModel, tip_states,
             if "does not fit" not in str(e):
                 raise   # programming errors must not degrade silently
             # big-taxa trees: the batched register-machine arena does
-            # not fit VMEM — score candidates individually (each via
-            # the segmented/per-node path log_likelihood chooses)
-            return np.asarray([ll_of(c) for c in cands])
+            # not fit VMEM — score the neighbourhood via the batched
+            # SEGMENTED engine (one compiled program, O(#segments)
+            # dispatches per candidate); only if that cannot apply
+            # either, fall back to per-candidate evaluation
+            from .phylo import batch_log_likelihood_segmented
+            try:
+                return batch_log_likelihood_segmented(pms)
+            except ValueError:
+                return np.asarray([ll_of(c) for c in cands])
 
     current = tree
     best_ll = ll_of(current)

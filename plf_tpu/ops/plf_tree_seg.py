@@ -131,7 +131,10 @@ def plan_segments(schedule: Sequence[Tuple], n_leaves: int, *, rows: int,
         for bs in range(block_sites, 127, -128):
             if block_sites % bs:
                 continue
-            cap = max(1, vmem_budget // (3 * rows * bs * 4 + op_bytes))
+            # ~2 arena slots per op (its own slot + one input slot) plus
+            # the fac/tip scratch rows
+            cap = max(1, (vmem_budget * 2)
+                      // (5 * rows * bs * 4 + 2 * op_bytes))
             if cap >= 24 or bs == 128:
                 best = (bs, min(cap, max(1, E)))
                 break
@@ -243,9 +246,10 @@ def _plan_with_cap(schedule, n_leaves, *, rows, block_sites, cap_ops,
             n_bnd_out=len(outs),
             root_slot=seg_tips + seg_bnd + in_seg[root]))
 
-    # shrink the block until arena + boundary I/O + operator stacks fit
-    io_slots = 2 * seg_bnd + seg_out
-    fitted = fit_block_sites(seg_tips + seg_bnd + seg_ops + 1 + io_slots,
+    # shrink the block until arena + small scratch + operator stacks fit
+    # (direct-DMA kernels hold no padded I/O blocks in VMEM; scratch
+    # beyond the arena is the tip/fac/gbout rows ≈ 2 slots worth)
+    fitted = fit_block_sites(seg_tips + seg_bnd + seg_ops + 2,
                              rows, block_sites,
                              vmem_budget - seg_ops * op_bytes)
     if fitted is None:
@@ -265,53 +269,69 @@ def _plan_with_cap(schedule, n_leaves, *, rows, block_sites, cap_ops,
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel: one segment = one dispatch.
+# Forward kernel: one segment = one dispatch, direct-DMA I/O.
+#
+# Round-3 gathered each segment's boundary/tip inputs into PADDED
+# uniform-shape arrays before the kernel (jnp.take per scan step): every
+# segment paid the MAX boundary/tip/op count in HBM traffic and compute
+# even though the mean is far lower (e.g. seg_bnd padded 7 vs mean 0.9
+# at 160 taxa — an 8x inflation on the dominant site-sized streams).
+# Round 4 removes the padding entirely, the TPU-native way:
+#
+# * tip codes and the boundary buffer stay in HBM (memory_space=ANY);
+#   the kernel issues async copies of EXACTLY the rows the segment
+#   needs (pltpu.make_async_copy with scalar-prefetched row indices) —
+#   the DMA engine is the gather unit, there is no padded materialised
+#   copy and no padded DMA;
+# * loop trip counts (tips/boundaries/ops) are runtime scalars, so
+#   padded ops cost nothing — the uniform scan shape survives only in
+#   the (tiny) schedule arrays;
+# * the segment root is DMA'd straight into its boundary-buffer row
+#   and the buffer is aliased input->output, so the lax.scan carry
+#   updates in place with no scatter and no copy.
+#
+# This is the same mover/compute split as the reference's PL DMA
+# kernels feeding the AIE graph (hls/src/mm2sleft_memDNAwindowComb.cpp
+# streams exactly the window each kernel consumes) — here the "PL" is
+# the TPU's DMA engines driven from inside the kernel.
 # ---------------------------------------------------------------------------
 
 
-def _seg_fwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
-                    rslot_ref, codes_ref, bnd_ref, lcs_ref, rcs_ref,
+def _seg_fwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
+                    bnd_idx_ref, gout_ref,
+                    codes_ref, bbuf_hbm, lcs_ref, rcs_ref,
                     ec_ref, ttab_ref, rr_ref,
-                    bout_ref, lik_ref, sc_ref, arena_ref, *,
-                    seg_tips, seg_bnd, seg_ops, seg_out, states,
+                    bbuf_out, lik_ref, sc_ref,
+                    arena_ref, sem_ref, *,
+                    seg_tips, seg_bnd, seg_ops, states,
                     categories, block_sites, variant="vpu"):
     S, C = states, categories
     rows = S * C
     BS = block_sites
-    ncode = ttab_ref.shape[-1]
     site0 = pl.program_id(0) * BS
     idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
     valid = idx < n_ref[0]
     is_mxu = variant.startswith("mxu")
+    n_tips, n_bnd, n_ops = cnt_ref[0], cnt_ref[1], cnt_ref[2]
 
-    def preload_tip(t, _):
+    # Boundary CLVs DMA directly from the HBM buffer — EXACTLY the rows
+    # this segment consumes, no padded gather (tip codes stay a
+    # pipelined VMEM block: Mosaic's DMA engine rejects manual int8
+    # row copies, and code rows are 1-4 B/site — padding them is cheap).
+    def bnd_cp(b):
+        return pltpu.make_async_copy(
+            bbuf_hbm.at[bnd_idx_ref[b], :, pl.ds(site0, BS)],
+            arena_ref.at[seg_tips + b], sem_ref)
+
+    # start every input DMA, then wait (copies overlap each other)
+    jax.lax.fori_loop(0, n_bnd, lambda b, c: (bnd_cp(b).start(), c)[1], 0)
+    jax.lax.fori_loop(0, n_bnd, lambda b, c: (bnd_cp(b).wait(), c)[1], 0)
+
+    def expand(t, _):
         arena_ref[t] = _expand_tip(codes_ref[t], ttab_ref)
         return 0
 
-    jax.lax.fori_loop(0, seg_tips, preload_tip, 0)
-
-    def preload_bnd(b, _):
-        arena_ref[seg_tips + b] = bnd_ref[b]
-        return 0
-
-    jax.lax.fori_loop(0, seg_bnd, preload_bnd, 0)
-
-    # Zero the padded-op slots and the trailing dummy slot: padded ops
-    # self-reference their own slot and padded bout lanes export the
-    # dummy, so without this those exports carry uninitialised VMEM
-    # (possibly NaN bit patterns) into the bbuf trash row — contained
-    # today by the trash-row invariant, but fragile under future edits
-    # (the bwd kernel already zeroes its padded slots for this reason).
-    def zero_pad_slot(i, _):
-        @pl.when(ovalid_ref[i] == 0)
-        def _():
-            arena_ref[seg_tips + seg_bnd + i] = jnp.zeros(
-                (rows, BS), jnp.float32)
-        return 0
-
-    jax.lax.fori_loop(0, seg_ops, zero_pad_slot, 0)
-    arena_ref[seg_tips + seg_bnd + seg_ops] = jnp.zeros((rows, BS),
-                                                        jnp.float32)
+    jax.lax.fori_loop(0, n_tips, expand, 0)
 
     def body(i, scaler):
         lcv = lcs_ref[i]
@@ -326,16 +346,10 @@ def _seg_fwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
                                  lambda a: rcv[:, a:a + 1], ec_ref,
                                  valid, S, C)
         arena_ref[seg_tips + seg_bnd + i] = x3
-        return scaler + mask * ovalid_ref[i]
+        return scaler + mask
 
-    scaler = jax.lax.fori_loop(0, seg_ops, body,
+    scaler = jax.lax.fori_loop(0, n_ops, body,
                                jnp.zeros((1, BS), jnp.int32))
-
-    def export(k, _):
-        bout_ref[k] = arena_ref[oslots_ref[k]]
-        return 0
-
-    jax.lax.fori_loop(0, seg_out, export, 0)
 
     x_root = arena_ref[rslot_ref[0]]
     lik = rr_ref[0:1, 0:1] * x_root[0:1, :]
@@ -344,14 +358,22 @@ def _seg_fwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
     lik_ref[...] = lik
     sc_ref[...] = scaler
 
+    # export the root CLV straight into its boundary row (the trash row
+    # for the final segment — nothing reads it)
+    out_cp = pltpu.make_async_copy(
+        arena_ref.at[rslot_ref[0]],
+        bbuf_out.at[gout_ref[0], :, pl.ds(site0, BS)], sem_ref)
+    out_cp.start()
+    out_cp.wait()
+
 
 @functools.partial(
     jax.jit,
-    static_argnames=("seg_tips", "seg_bnd", "seg_ops", "seg_out",
+    static_argnames=("seg_tips", "seg_bnd", "seg_ops",
                      "states", "categories", "block_sites", "interpret",
                      "variant"))
-def _seg_fwd_call(seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, ec, ttab,
-                  rr, n, *, seg_tips, seg_bnd, seg_ops, seg_out, states,
+def _seg_fwd_call(seg_arrs, codes_seg, bbuf, lcs_seg, rcs_seg, ec, ttab,
+                  rr, n, *, seg_tips, seg_bnd, seg_ops, states,
                   categories, block_sites, interpret, variant="vpu"):
     S, C = states, categories
     rows = S * C
@@ -363,21 +385,21 @@ def _seg_fwd_call(seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, ec, ttab,
 
     kernel = functools.partial(
         _seg_fwd_kernel, seg_tips=seg_tips, seg_bnd=seg_bnd,
-        seg_ops=seg_ops, seg_out=seg_out, states=S, categories=C,
+        seg_ops=seg_ops, states=S, categories=C,
         block_sites=block_sites, variant=variant)
-    nm3 = lambda i, *_: (0, 0, i)
     c0 = lambda i, *_: (0, 0)
     c03 = lambda i, *_: (0, 0, 0)
-    bout, lik, sc = pl.pallas_call(
+    nm3 = lambda i, *_: (0, 0, i)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    bbuf_new, lik, sc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=7,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((seg_tips, 1, block_sites), nm3,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((seg_bnd, rows, block_sites), nm3,
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.VMEM),       # codes_seg
+                any_spec,                                   # bbuf   (HBM)
                 pl.BlockSpec((seg_ops, rows, W), c03,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((seg_ops, rows, W), c03,
@@ -387,32 +409,34 @@ def _seg_fwd_call(seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, ec, ttab,
                 pl.BlockSpec((1, rows), c0, memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((seg_out, rows, block_sites), nm3,
-                             memory_space=pltpu.VMEM),
+                any_spec,                                   # bbuf (aliased)
                 pl.BlockSpec((1, block_sites), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_sites), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((seg_tips + seg_bnd + seg_ops + 1, rows,
+                pltpu.VMEM((seg_tips + seg_bnd + seg_ops, rows,
                             block_sites), jnp.float32),
+                pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((seg_out, rows, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct(bbuf.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
+        # operand index counts the 7 scalar-prefetch args (n + the 6
+        # segment arrays) as 0..6, then codes_seg=7, bbuf=8
+        input_output_aliases={8: 0},
         cost_estimate=pl.CostEstimate(
             flops=23 * rows * n_pad * seg_ops,
-            bytes_accessed=(seg_tips * 4
-                            + (seg_bnd + seg_out) * rows * 4 + 8) * n_pad,
+            bytes_accessed=(seg_tips * 4 + 2 * rows * 4 + 8) * n_pad,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n_arr, *seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, ec, ttab, rr)
-    return bout, lik, sc
+    )(n_arr, *seg_arrs, codes_seg, bbuf, lcs_seg, rcs_seg, ec, ttab, rr)
+    return bbuf_new, lik, sc
 
 
 def _stacked_plan(plan: SegPlan):
@@ -425,48 +449,55 @@ def _stacked_plan(plan: SegPlan):
     jaxpr (minutes of tracing at a few hundred taxa).
 
     Boundary CLVs live in an HBM buffer of ``n_boundaries + 1`` rows;
-    row ``n_boundaries`` is a trash row that padded boundary reads and
-    writes target (each real boundary is written exactly once and
-    consumed exactly once, see the module docstring invariant).
+    row ``n_boundaries`` is a trash row that the final segment's root
+    export targets.  Kernel loops run to the per-segment REAL counts
+    (``counts``), so the padding in these arrays costs nothing at
+    runtime.
     """
     cached = getattr(plan, "_stacked_cache", None)
     if cached is not None:
         return cached
     trash = plan.n_boundaries
     segs = plan.segments
+    for s in segs:
+        assert s.n_bnd_out <= 1, "planner invariant: root is the only " \
+            "boundary output of a segment"
 
     def stk(get):
         return np.stack([get(s) for s in segs]).astype(np.int32)
 
-    lane = np.arange(plan.seg_bnd)
-    lane_out = np.arange(plan.seg_out)
     last = np.zeros(len(segs), np.float32)
     last[-1] = 1.0
     out = dict(
         tip_ids=stk(lambda s: s.tip_ids),
-        bnd_idx=stk(lambda s: np.where(lane < s.n_bnd_in,
-                                       s.bnd_in_ids, trash)),
+        bnd_idx=stk(lambda s: s.bnd_in_ids),
         lsrc=stk(lambda s: s.lsrc),
         rsrc=stk(lambda s: s.rsrc),
-        ovalid=stk(lambda s: s.ovalid),
         opos=stk(lambda s: s.opos),
-        oslots=stk(lambda s: s.out_slots),
-        gout_idx=stk(lambda s: np.where(lane_out < s.n_bnd_out,
-                                        s.bnd_out_ids, trash)),
         rslot=stk(lambda s: np.asarray([s.root_slot])),
+        gout=stk(lambda s: np.asarray(
+            [s.bnd_out_ids[0] if s.n_bnd_out else trash])),
+        counts=stk(lambda s: np.asarray(
+            [s.n_tips, s.n_bnd_in, s.n_ops, s.n_bnd_out])),
         last=last,
     )
     object.__setattr__(plan, "_stacked_cache", out)
     return out
 
 
+def _seg_args(x):
+    """Scalar-prefetch tuple for one scan step's segment."""
+    return (x["counts"], x["lsrc"], x["rsrc"], x["rslot"],
+            x["bnd_idx"], x["gout"])
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_boundaries", "seg_tips", "seg_bnd", "seg_ops",
-                     "seg_out", "states", "categories", "block_sites",
+                     "states", "categories", "block_sites",
                      "interpret", "variant"))
 def _seg_scan_fwd(xs, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
-                  n_boundaries, seg_tips, seg_bnd, seg_ops, seg_out,
+                  n_boundaries, seg_tips, seg_bnd, seg_ops,
                   states, categories, block_sites, interpret,
                   variant="vpu"):
     """One lax.scan over the stacked segments (module-level jit so the
@@ -476,25 +507,23 @@ def _seg_scan_fwd(xs, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
     n_pad = codes3.shape[-1]
     bbuf0 = jnp.zeros((n_boundaries + 1, rows, n_pad), jnp.float32)
     sc0 = jnp.zeros((1, n_pad), jnp.int32)
+    lik0 = jnp.zeros((1, n_pad), jnp.float32)
 
     def body(carry, x):
-        bbuf, sc_tot = carry
+        bbuf, sc_tot, _lik = carry
         codes_seg = jnp.take(codes3, x["tip_ids"], axis=0)
-        bnd_in = jnp.take(bbuf, x["bnd_idx"], axis=0)
         lcs_seg = jnp.take(lcs3, x["opos"], axis=0)
         rcs_seg = jnp.take(rcs3, x["opos"], axis=0)
-        bout, lik, sc = _seg_fwd_call(
-            (x["lsrc"], x["rsrc"], x["ovalid"], x["oslots"], x["rslot"]),
-            codes_seg, bnd_in, lcs_seg, rcs_seg, ec, ttab, rr, n,
-            seg_tips=seg_tips, seg_bnd=seg_bnd, seg_ops=seg_ops,
-            seg_out=seg_out, states=states, categories=categories,
+        bbuf, lik, sc = _seg_fwd_call(
+            _seg_args(x), codes_seg, bbuf, lcs_seg, rcs_seg, ec, ttab, rr,
+            n, seg_tips=seg_tips, seg_bnd=seg_bnd, seg_ops=seg_ops,
+            states=states, categories=categories,
             block_sites=block_sites, interpret=interpret,
             variant=variant)
-        bbuf = bbuf.at[x["gout_idx"]].set(bout)
-        return (bbuf, sc_tot + sc), lik
+        return (bbuf, sc_tot + sc, lik), None
 
-    (bbuf, sc_total), liks = jax.lax.scan(body, (bbuf0, sc0), xs)
-    return liks[-1], sc_total, bbuf
+    (bbuf, sc_total, lik), _ = jax.lax.scan(body, (bbuf0, sc0, lik0), xs)
+    return lik, sc_total, bbuf
 
 
 def _run_forward(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
@@ -502,8 +531,8 @@ def _run_forward(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
     """Scan the per-segment dispatches; returns (lik, sc, bnd_buffer).
 
     ``bnd_buffer``: (n_boundaries+1, rows, n_pad) — every boundary CLV
-    (row B is the padding trash row).  One lax.scan, one compiled
-    kernel, O(#segments) sequential dispatches on device.
+    (row B is the trash row).  One lax.scan, one compiled kernel,
+    O(#segments) sequential dispatches on device.
     """
     st = _stacked_plan(plan)
     xs = {k: jnp.asarray(v) for k, v in st.items()}
@@ -511,7 +540,7 @@ def _run_forward(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
         xs, codes3, lcs3, rcs3, ec, ttab, rr, n,
         n_boundaries=plan.n_boundaries, seg_tips=plan.seg_tips,
         seg_bnd=plan.seg_bnd, seg_ops=plan.seg_ops,
-        seg_out=plan.seg_out, states=states, categories=categories,
+        states=states, categories=categories,
         block_sites=plan.block_sites, interpret=interpret,
         variant=variant)
 
@@ -522,7 +551,7 @@ def plf_tree_segmented(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n,
     """Segmented whole-tree likelihood forward.
 
     Same contract as plf_tree_pallas_dynamic's leading-dim form:
-    codes3 (n_leaves, 1, n_pad) int32; lcs3/rcs3 (E, rows, S) operator
+    codes3 (n_leaves, 1, n_pad) int32; lcs3/rcs3 (E, rows, W) operator
     stacks indexed by REORDERED schedule position (the positions
     ``plan`` was built from); returns ((1, n_pad) lik, (1, n_pad) sc).
     """
@@ -534,59 +563,64 @@ def plf_tree_segmented(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n,
 
 # ---------------------------------------------------------------------------
 # Backward kernel: recompute one segment's interior, reverse-sweep.
+# Same direct-DMA I/O as the forward: bbuf (checkpointed boundary CLVs)
+# and gbuf (boundary adjoints) stay in HBM; only the segment's REAL rows
+# move, and gbuf updates in place through aliasing.
 # ---------------------------------------------------------------------------
 
 
-def _seg_bwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
-                    rslot_ref, codes_ref, bnd_ref, lcs_ref, rcs_ref,
+def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
+                    bnd_idx_ref, gout_ref,
+                    codes_ref, bbuf_hbm, gbuf_hbm, lcs_ref, rcs_ref,
                     lcsT_ref, rcsT_ref, ec_ref, ecT_ref, ttab_ref,
-                    rrT_ref, glik_ref, gbout_ref,
-                    gl_ref, gr_ref, gec_ref, grrT_ref, gbnd_ref,
-                    arena_ref, fac_ref, *, seg_tips, seg_bnd, seg_ops,
-                    seg_out, states, categories, block_sites,
-                    variant="vpu"):
+                    rrT_ref, glik_ref,
+                    gbuf_out, gl_ref, gr_ref, gec_ref, grrT_ref,
+                    arena_ref, fac_ref, gbout_ref, sem_ref,
+                    *, seg_tips, seg_bnd, seg_ops, states, categories,
+                    block_sites, variant="vpu"):
     S, C = states, categories
     rows = S * C
     BS = block_sites
-    ncode = ttab_ref.shape[-1]
     site0 = pl.program_id(0) * BS
     idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
     valid = idx < n_ref[0]
     is_mxu = variant.startswith("mxu")
     if is_mxu:
         dot, dot_t = make_mxu_dots(variant)
+    n_tips, n_bnd, n_ops = cnt_ref[0], cnt_ref[1], cnt_ref[2]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
+        # full zero-init: rows beyond the segment's real op count stay
+        # exactly zero, so the caller's scatter-add of padded rows at
+        # schedule position 0 is a no-op
         gl_ref[...] = jnp.zeros_like(gl_ref)
         gr_ref[...] = jnp.zeros_like(gr_ref)
         gec_ref[...] = jnp.zeros_like(gec_ref)
         grrT_ref[...] = jnp.zeros_like(grrT_ref)
 
-    def preload_tip(t, _):
+    def bnd_cp(b):
+        return pltpu.make_async_copy(
+            bbuf_hbm.at[bnd_idx_ref[b], :, pl.ds(site0, BS)],
+            arena_ref.at[seg_tips + b], sem_ref)
+
+    # the adjoint of this segment's boundary output, written earlier in
+    # the reverse scan by its consumer (zero row for the final segment:
+    # gbuf's trash row is never written)
+    gbout_cp = pltpu.make_async_copy(
+        gbuf_hbm.at[gout_ref[0], :, pl.ds(site0, BS)],
+        gbout_ref, sem_ref)
+
+    jax.lax.fori_loop(0, n_bnd, lambda b, c: (bnd_cp(b).start(), c)[1], 0)
+    gbout_cp.start()
+    jax.lax.fori_loop(0, n_bnd, lambda b, c: (bnd_cp(b).wait(), c)[1], 0)
+    gbout_cp.wait()
+
+    def expand(t, _):
         arena_ref[t] = _expand_tip(codes_ref[t], ttab_ref)
         return 0
 
-    jax.lax.fori_loop(0, seg_tips, preload_tip, 0)
-
-    def preload_bnd(b, _):
-        arena_ref[seg_tips + b] = bnd_ref[b]
-        return 0
-
-    jax.lax.fori_loop(0, seg_bnd, preload_bnd, 0)
-
-    # Padding ops self-reference their own arena slot; zero it so their
-    # whole adjoint chain is EXACTLY zero (uninitialised VMEM can hold
-    # NaN bit patterns, and the reverse-scan caller scatter-adds every
-    # gl/gr row — padded rows land on edge 0 and must be 0, not NaN*0).
-    def zero_pad_slot(i, _):
-        @pl.when(ovalid_ref[i] == 0)
-        def _():
-            arena_ref[seg_tips + seg_bnd + i] = jnp.zeros(
-                (rows, BS), jnp.float32)
-        return 0
-
-    jax.lax.fori_loop(0, seg_ops, zero_pad_slot, 0)
+    jax.lax.fori_loop(0, n_tips, expand, 0)
 
     # ---- phase 1: forward recompute, every op CLV checkpointed ----------
     def fwd_body(i, _):
@@ -606,29 +640,23 @@ def _seg_bwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
                                jnp.float32(1.0))
         return 0
 
-    jax.lax.fori_loop(0, seg_ops, fwd_body, 0)
+    jax.lax.fori_loop(0, n_ops, fwd_body, 0)
 
-    # ---- seed: root adjoint (non-zero only for the final segment), then
-    # restore the adjoints of this segment's boundary outputs (the root
-    # of a non-final segment IS one of them, so the restore wins) -------
+    # ---- seed the root adjoint: the direct likelihood cotangent (zero
+    # for non-final segments) PLUS the boundary-output adjoint (the
+    # zero trash row for the final segment) — one unconditional sum
+    # covers both cases ----------------------------------------------------
     g = glik_ref[...] * valid.astype(jnp.float32)
     x_root = arena_ref[rslot_ref[0]]
     grrT_ref[...] += jnp.sum(x_root * g, axis=1, keepdims=True)
-    arena_ref[rslot_ref[0]] = rrT_ref[...] * g
-
-    def restore(k, _):
-        arena_ref[oslots_ref[k]] = gbout_ref[k]
-        return 0
-
-    jax.lax.fori_loop(0, seg_out, restore, 0)
+    arena_ref[rslot_ref[0]] = rrT_ref[...] * g + gbout_ref[...]
 
     # ---- phase 2: reverse sweep (slots flip CLV -> adjoint) -------------
     # (adjoint identities as in plf_tree_grad._tree_bwd_kernel; the MXU
     # branch runs them as block matmuls at the variant's pass count)
     def bwd_body(j, _):
-        i = seg_ops - 1 - j
-        ow = ovalid_ref[i].astype(jnp.float32)
-        g_x3 = arena_ref[seg_tips + seg_bnd + i] * ow
+        i = n_ops - 1 - j
+        g_x3 = arena_ref[seg_tips + seg_bnd + i]
         g_y = g_x3 * fac_ref[i]
         lcv = lcs_ref[i]
         rcv = rcs_ref[i]
@@ -660,24 +688,26 @@ def _seg_bwd_kernel(n_ref, lsrc_ref, rsrc_ref, ovalid_ref, oslots_ref,
         arena_ref[rsrc_ref[i]] = gx2
         return 0
 
-    jax.lax.fori_loop(0, seg_ops, bwd_body, 0)
+    jax.lax.fori_loop(0, n_ops, bwd_body, 0)
 
-    # ---- export boundary-input adjoints ---------------------------------
-    def export(b, _):
-        gbnd_ref[b] = arena_ref[seg_tips + b]
-        return 0
+    # ---- export boundary-input adjoints straight into gbuf rows ---------
+    def gexp_cp(b):
+        return pltpu.make_async_copy(
+            arena_ref.at[seg_tips + b],
+            gbuf_out.at[bnd_idx_ref[b], :, pl.ds(site0, BS)], sem_ref)
 
-    jax.lax.fori_loop(0, seg_bnd, export, 0)
+    jax.lax.fori_loop(0, n_bnd, lambda b, c: (gexp_cp(b).start(), c)[1], 0)
+    jax.lax.fori_loop(0, n_bnd, lambda b, c: (gexp_cp(b).wait(), c)[1], 0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("seg_tips", "seg_bnd", "seg_ops", "seg_out",
+    static_argnames=("seg_tips", "seg_bnd", "seg_ops",
                      "states", "categories", "block_sites", "interpret",
                      "variant"))
-def _seg_bwd_call(seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, lcsT_seg,
-                  rcsT_seg, ec, ecT, ttab, rrT, glik, gbout, n, *,
-                  seg_tips, seg_bnd, seg_ops, seg_out, states, categories,
+def _seg_bwd_call(seg_arrs, codes_seg, bbuf, gbuf, lcs_seg, rcs_seg,
+                  lcsT_seg, rcsT_seg, ec, ecT, ttab, rrT, glik, n, *,
+                  seg_tips, seg_bnd, seg_ops, states, categories,
                   block_sites, interpret, variant="vpu"):
     S, C = states, categories
     rows = S * C
@@ -689,78 +719,79 @@ def _seg_bwd_call(seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, lcsT_seg,
 
     kernel = functools.partial(
         _seg_bwd_kernel, seg_tips=seg_tips, seg_bnd=seg_bnd,
-        seg_ops=seg_ops, seg_out=seg_out, states=S, categories=C,
+        seg_ops=seg_ops, states=S, categories=C,
         block_sites=block_sites, variant=variant)
-    nm3 = lambda i, *_: (0, 0, i)
     c0 = lambda i, *_: (0, 0)
     c03 = lambda i, *_: (0, 0, 0)
+    nm3 = lambda i, *_: (0, 0, i)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
     op3 = pl.BlockSpec((seg_ops, rows, W), c03, memory_space=pltpu.VMEM)
     const = pl.BlockSpec((rows, W), c0, memory_space=pltpu.VMEM)
-    gl, gr, gec, grrT, gbnd = pl.pallas_call(
+    gbuf_new, gl, gr, gec, grrT = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=7,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((seg_tips, 1, block_sites), nm3,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((seg_bnd, rows, block_sites), nm3,
-                             memory_space=pltpu.VMEM),
+                             memory_space=pltpu.VMEM),       # codes_seg
+                any_spec,                                   # bbuf
+                any_spec,                                   # gbuf
                 op3, op3, op3, op3,
                 const, const,
                 pl.BlockSpec((rows, ncode), c0, memory_space=pltpu.VMEM),
                 pl.BlockSpec((rows, 1), c0, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, block_sites), lambda i, *_: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((seg_out, rows, block_sites), nm3,
-                             memory_space=pltpu.VMEM),
             ],
             out_specs=[
+                any_spec,                                   # gbuf (aliased)
                 op3, op3, const,
                 pl.BlockSpec((rows, 1), c0, memory_space=pltpu.VMEM),
-                pl.BlockSpec((seg_bnd, rows, block_sites), nm3,
-                             memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((seg_tips + seg_bnd + seg_ops + 1, rows,
+                pltpu.VMEM((seg_tips + seg_bnd + seg_ops, rows,
                             block_sites), jnp.float32),
                 pltpu.VMEM((seg_ops, 1, block_sites), jnp.float32),
+                pltpu.VMEM((rows, block_sites), jnp.float32),
+                pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=[
+            jax.ShapeDtypeStruct(gbuf.shape, jnp.float32),
             jax.ShapeDtypeStruct((seg_ops, rows, W), jnp.float32),
             jax.ShapeDtypeStruct((seg_ops, rows, W), jnp.float32),
             jax.ShapeDtypeStruct((rows, W), jnp.float32),
             jax.ShapeDtypeStruct((rows, 1), jnp.float32),
-            jax.ShapeDtypeStruct((seg_bnd, rows, n_pad), jnp.float32),
         ],
+        # scalars 0..6, codes_seg=7, bbuf=8, gbuf=9
+        input_output_aliases={9: 0},
         cost_estimate=pl.CostEstimate(
             flops=3 * 23 * rows * n_pad * seg_ops,
-            bytes_accessed=(seg_tips * 4
-                            + (2 * seg_bnd + seg_out) * rows * 4
-                            + 4) * n_pad,
+            bytes_accessed=(seg_tips * 4 + 4 * rows * 4 + 4) * n_pad,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n_arr, *seg_arrs, codes_seg, bnd_in, lcs_seg, rcs_seg, lcsT_seg,
-      rcsT_seg, ec, ecT, ttab, rrT, glik, gbout)
-    return gl, gr, gec, grrT, gbnd
+    )(n_arr, *seg_arrs, codes_seg, bbuf, gbuf, lcs_seg, rcs_seg,
+      lcsT_seg, rcsT_seg, ec, ecT, ttab, rrT, glik)
+    return gbuf_new, gl, gr, gec, grrT
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_boundaries", "seg_tips", "seg_bnd", "seg_ops",
-                     "seg_out", "states", "categories", "block_sites",
+                     "states", "categories", "block_sites",
                      "interpret", "variant"))
 def _seg_scan_bwd(xs, codes3, lcs3, rcs3, ec, ttab, rr, n, bbuf, glik, *,
-                  n_boundaries, seg_tips, seg_bnd, seg_ops, seg_out,
+                  n_boundaries, seg_tips, seg_bnd, seg_ops,
                   states, categories, block_sites, interpret,
                   variant="vpu"):
     """Reverse lax.scan over the stacked segments: the adjoint buffer
     gbuf mirrors the forward's boundary buffer (consumers run before
-    producers in reverse order, so a segment's boundary-output adjoints
-    are already in gbuf when it executes).  One trace/compile
-    regardless of segment count, like the forward scan."""
+    producers in reverse order, so a segment's boundary-output adjoint
+    is already in gbuf when it executes; in-kernel DMA writes update it
+    in place through aliasing).  One trace/compile regardless of
+    segment count, like the forward scan."""
     S, C = states, categories
     rows = S * C
     n_pad = codes3.shape[-1]
@@ -781,28 +812,23 @@ def _seg_scan_bwd(xs, codes3, lcs3, rcs3, ec, ttab, rr, n, bbuf, glik, *,
     def body(carry, x):
         gbuf, gl_tot, gr_tot, gec_tot, grrT_tot = carry
         codes_seg = jnp.take(codes3, x["tip_ids"], axis=0)
-        bnd_in = jnp.take(bbuf, x["bnd_idx"], axis=0)
-        gbout = jnp.take(gbuf, x["gout_idx"], axis=0)
         lcs_seg = jnp.take(lcs3, x["opos"], axis=0)
         rcs_seg = jnp.take(rcs3, x["opos"], axis=0)
         lcsT_seg = jax.vmap(tT)(lcs_seg)
         rcsT_seg = jax.vmap(tT)(rcs_seg)
         gs = glik * x["last"]     # root adjoint only on final segment
-        gl, gr, gec, grrT, gbnd = _seg_bwd_call(
-            (x["lsrc"], x["rsrc"], x["ovalid"], x["oslots"],
-             x["rslot"]), codes_seg, bnd_in, lcs_seg, rcs_seg,
-            lcsT_seg, rcsT_seg, ec, ecT, ttab, rrT, gs, gbout, n,
+        gbuf, gl, gr, gec, grrT = _seg_bwd_call(
+            _seg_args(x), codes_seg, bbuf, gbuf, lcs_seg, rcs_seg,
+            lcsT_seg, rcsT_seg, ec, ecT, ttab, rrT, gs, n,
             seg_tips=seg_tips, seg_bnd=seg_bnd, seg_ops=seg_ops,
-            seg_out=seg_out, states=S, categories=C,
-            block_sites=block_sites, interpret=interpret,
-            variant=variant)
-        # padded ops produce exactly-zero gl/gr rows (ovalid gates the
-        # kernel's adjoint seed, and their arena slots are zero-
-        # initialised), so scatter-adding them at padding position 0 is
-        # a no-op.
+            states=S, categories=C, block_sites=block_sites,
+            interpret=interpret, variant=variant)
+        # padded ops produce exactly-zero gl/gr rows (zero-init at grid
+        # step 0, never accumulated — the kernel loops stop at the real
+        # op count), so scatter-adding them at padding position 0 is a
+        # no-op.
         gl_tot = gl_tot.at[x["opos"]].add(gl)
         gr_tot = gr_tot.at[x["opos"]].add(gr)
-        gbuf = gbuf.at[x["bnd_idx"]].set(gbnd)
         return (gbuf, gl_tot, gr_tot, gec_tot + gec,
                 grrT_tot + grrT), None
 
@@ -860,7 +886,7 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
             xs, codes3, lcs3, rcs3, ec, ttab, rr, n, bbuf, glik,
             n_boundaries=plan.n_boundaries, seg_tips=plan.seg_tips,
             seg_bnd=plan.seg_bnd, seg_ops=plan.seg_ops,
-            seg_out=plan.seg_out, states=S, categories=C,
+            states=S, categories=C,
             block_sites=plan.block_sites, interpret=interpret,
             variant=variant)
         return (None, gl_tot, gr_tot, gec_tot, jnp.zeros_like(ttab),
@@ -869,3 +895,100 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
     f.defvjp(fwd, bwd)
     f.plan = plan
     return f
+
+
+# ---------------------------------------------------------------------------
+# Batched same-shape segmented scoring (tree search beyond the
+# register-machine arena): stack many candidates' segment plans into one
+# uniform shape and lax.map the forward scan — O(#segments) dispatches
+# per candidate inside ONE compiled program, the big-taxa analogue of
+# plf_tree_pallas.batched_tree_loglik_parts (reference: 9-instance
+# parallel scoring, /root/reference/Makefile:29).
+# ---------------------------------------------------------------------------
+
+
+def stack_plans(plans: Sequence[SegPlan], rows: int,
+                vmem_budget: int = ARENA_VMEM_BUDGET):
+    """Pad per-candidate SegPlans to one batch-uniform shape.
+
+    Different topologies of the same (E, n_leaves) class segment into
+    slightly different shapes; the batch pads every dimension to the
+    max and front-pads with no-op segments (all counts zero) so the
+    scan length is uniform — the kernels' runtime trip counts make the
+    padding free.  Returns (xs_b, dims) with xs_b a dict of
+    (B, n_seg_max, ...) arrays and dims the uniform static shape.
+    """
+    n_seg_max = max(len(p.segments) for p in plans)
+    seg_tips = max(p.seg_tips for p in plans)
+    seg_bnd = max(p.seg_bnd for p in plans)
+    seg_ops = max(p.seg_ops for p in plans)
+    n_bnd_max = max(p.n_boundaries for p in plans)
+    trash = n_bnd_max
+
+    def pad_plan(plan):
+        st = _stacked_plan(plan)
+        n_seg = len(plan.segments)
+        out = {}
+        for k, v in st.items():
+            v = np.asarray(v)
+            if k == "last":
+                w = np.zeros(n_seg_max, v.dtype)
+                w[n_seg_max - n_seg:] = v
+                out[k] = w
+                continue
+            # pad trailing dims to the batch max, then front-pad segments
+            tgt = {"tip_ids": seg_tips, "bnd_idx": seg_bnd,
+                   "lsrc": seg_ops, "rsrc": seg_ops, "opos": seg_ops,
+                   "rslot": 1, "gout": 1, "counts": 4}[k]
+            if v.shape[1] < tgt:
+                v = np.pad(v, ((0, 0), (0, tgt - v.shape[1])))
+            if k == "gout":
+                # remap this plan's trash row to the batch trash row
+                v = np.where(v == plan.n_boundaries, trash, v)
+            w = np.zeros((n_seg_max, tgt), v.dtype)
+            w[n_seg_max - n_seg:] = v
+            out[k] = w
+        return out
+
+    padded = [pad_plan(p) for p in plans]
+    xs_b = {k: np.stack([d[k] for d in padded]) for k in padded[0]}
+    # refit the block for the batch-max arena (each plan fitted its own
+    # dims; the max across plans can be slightly larger)
+    bs = fit_block_sites(seg_tips + seg_bnd + seg_ops + 2, rows,
+                         min(p.block_sites for p in plans), vmem_budget)
+    if bs is None:
+        raise ValueError("batched segment arena does not fit VMEM")
+    dims = dict(n_boundaries=n_bnd_max, seg_tips=seg_tips,
+                seg_bnd=seg_bnd, seg_ops=seg_ops, block_sites=bs)
+    return xs_b, dims
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_boundaries", "seg_tips", "seg_bnd", "seg_ops",
+                     "states", "categories", "block_sites", "interpret",
+                     "variant", "n_parts"))
+def batched_seg_loglik_parts(xs_b, codes3, lcs3_b, rcs3_b, ec, ttab, rr,
+                             wpad, n, *, n_boundaries, seg_tips, seg_bnd,
+                             seg_ops, states, categories, block_sites,
+                             interpret, variant="vpu", n_parts=64):
+    """(B, n_parts) fp32 partial sums of the weighted per-site
+    log-likelihood for B same-shape candidates (rescale counts folded
+    in); host-sum in float64 for the final ll per candidate."""
+    n_pad = codes3.shape[-1]
+    chunk = n_pad // n_parts
+    log_minlik = jnp.float32(np.log(np.float64(2.0) ** -32))
+
+    def one(args):
+        xs, lcs3, rcs3 = args
+        lik, sc, _ = _seg_scan_fwd(
+            xs, codes3, lcs3, rcs3, ec, ttab, rr, n,
+            n_boundaries=n_boundaries, seg_tips=seg_tips,
+            seg_bnd=seg_bnd, seg_ops=seg_ops, states=states,
+            categories=categories, block_sites=block_sites,
+            interpret=interpret, variant=variant)
+        site = (jnp.log(jnp.maximum(lik[0], jnp.float32(1e-45)))
+                + sc[0].astype(jnp.float32) * log_minlik) * wpad
+        return jnp.sum(site.reshape(n_parts, chunk), axis=-1)
+
+    return jax.lax.map(one, (xs_b, lcs3_b, rcs3_b))

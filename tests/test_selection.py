@@ -58,3 +58,68 @@ def test_model_select_param_counts():
     assert fits["JC+G"].k_params == k_branch + 1
     # JC data: the simpler model should win under BIC
     assert res.best.name == "JC"
+
+
+def test_candidate_ladders_and_defaults(monkeypatch):
+    """Round 4: +I/+I+G in the DNA ladder; states==20 defaults to the
+    empirical protein ladder (LG/WAG/JTT/Dayhoff)."""
+    from plf_tpu.models import selection as sel_mod
+    from plf_tpu.models.selection import (DNA_CANDIDATES,
+                                          PROTEIN_CANDIDATES)
+
+    assert "HKY+I" in DNA_CANDIDATES and "GTR+I+G" in DNA_CANDIDATES
+    assert "LG+G" in PROTEIN_CANDIDATES
+
+    ran = []
+
+    def stub(tree, model, codes, wgt, alpha0, config, steps, fit_alpha,
+             fit_pinv=False):
+        ran.append((model.states, fit_alpha, fit_pinv))
+        t = np.full(tree.n_nodes - 1, 0.1, np.float32)
+        return tree, (0.5 if fit_alpha else None), -100.0, t, (
+            0.2 if fit_pinv else None)
+
+    monkeypatch.setattr(sel_mod, "_fit_lengths_alpha", stub)
+    tree = random_tree(4, seed=3)
+    codes = np.random.default_rng(0).integers(0, 20, size=(4, 50))
+    res = model_select(tree, codes, config=PLFConfig(states=20),
+                       candidates=None, steps=2)
+    assert [f.name for f in sorted(res.fits, key=lambda f: f.name)] == \
+        sorted(PROTEIN_CANDIDATES)
+    assert all(s == 20 for (s, _, _) in ran)
+
+
+@pytest.mark.slow
+def test_model_select_pinv_recovers_plus_i():
+    """Data with a large invariant-site fraction must select the +I
+    candidate over the same model without it."""
+    tree = random_tree(8, seed=7)
+    model = hky85(4.0, np.array([0.25, 0.25, 0.25, 0.25]))
+    rng = np.random.default_rng(13)
+    aln = simulate_alignment(tree, model, 1500, seed=9)
+    # force ~45% of columns invariant (constant random state)
+    inv = rng.random(aln.shape[1]) < 0.45
+    const = rng.integers(0, 4, size=aln.shape[1])
+    aln[:, inv] = const[None, inv]
+    res = model_select(tree, aln, candidates=("HKY", "HKY+I"),
+                      criterion="AICc", config=CFG, steps=30)
+    assert res.best.name == "HKY+I"
+    assert res.best.p_inv is not None and res.best.p_inv > 0.2
+    fits = {f.name: f for f in res.fits}
+    assert fits["HKY+I"].log_likelihood > fits["HKY"].log_likelihood + 10
+
+
+@pytest.mark.slow
+def test_model_select_protein_ladder_runs():
+    """The empirical protein ladder fits and ranks on a protein
+    alignment (the --model auto protein path)."""
+    from plf_tpu.models import empirical_protein
+    tree = random_tree(5, seed=11)
+    model = empirical_protein("lg")
+    aln = simulate_alignment(tree, model, 300, seed=3)
+    res = model_select(tree, aln, candidates=("LG", "WAG"),
+                       config=PLFConfig(states=20, block_sites=128),
+                       steps=15)
+    assert {f.name for f in res.fits} == {"LG", "WAG"}
+    assert all(np.isfinite(f.log_likelihood) for f in res.fits)
+    assert all(f.k_params == 2 * 5 - 3 for f in res.fits)

@@ -278,3 +278,74 @@ def test_tree_backend_block_alignment():
     bs = _tree_backend_block(pm, vmem_budget=8 * 2 ** 20)
     assert bs is not None
     assert bs % 128 == 0 and 384 % bs == 0
+
+
+# ---------------------------------------------------------------------------
+# Batched same-shape segmented scoring (round 4: tree-search beyond the
+# register-machine arena scores whole neighbourhoods in one program)
+# ---------------------------------------------------------------------------
+
+
+def test_batched_segmented_matches_per_candidate():
+    from plf_tpu.ops.plf_tree_seg import (batched_seg_loglik_parts,
+                                          stack_plans)
+
+    n_leaves, n = 14, 300
+    rng = np.random.default_rng(11)
+    tips = rng.integers(0, 4, size=(n_leaves, n))
+    base = random_tree(n_leaves, seed=11)
+    from plf_tpu.models.search import nni_neighbors
+    cands = [base] + nni_neighbors(base)[:3]
+    pms = [PhyloModel(t, hky85(2.0), tips, alpha=0.5,
+                      config=PLFConfig(block_sites=128)) for t in cands]
+
+    plans, lcs_l, rcs_l = [], [], []
+    for pm in pms:
+        sched = _pos_sched(pm)
+        plans.append(plan_segments(sched, n_leaves, rows=16,
+                                   block_sites=128, cap_ops=4))
+        _, lcs3, rcs3, _, _, _ = _seg_inputs(pm)
+        lcs_l.append(lcs3)
+        rcs_l.append(rcs3)
+    assert max(len(p.segments) for p in plans) >= 3
+    xs_b, dims = stack_plans(plans, 16)
+    codes3, _, _, ec, ttab, rr = _seg_inputs(pms[0])
+    wpad = pms[0]._wgt_dev.astype(jnp.float32)
+    parts = batched_seg_loglik_parts(
+        {k: jnp.asarray(v) for k, v in xs_b.items()}, codes3,
+        jnp.stack(lcs_l), jnp.stack(rcs_l), ec, ttab, rr, wpad,
+        jnp.int32(n), states=4, categories=4, interpret=True,
+        n_parts=pms[0].n_pad // 128, **dims)
+    batched = np.asarray(parts, np.float64).sum(axis=1)
+
+    # per-candidate: each through its own segmented forward
+    for b, (pm, plan, lcs3, rcs3) in enumerate(
+            zip(pms, plans, lcs_l, rcs_l)):
+        codes3_i, _, _, ec_i, ttab_i, rr_i = _seg_inputs(pm)
+        lik, sc = plf_tree_segmented(
+            plan, codes3_i, lcs3, rcs3, ec_i, ttab_i, rr_i, n,
+            interpret=True)
+        ref = pm._finalise_ll(np.asarray(lik)[0], np.asarray(sc)[0],
+                              int(np.asarray(
+                                  jnp.sum(sc[0] * pm._wgt_dev))))
+        assert batched[b] == pytest.approx(ref.log_likelihood, rel=1e-6)
+    # and the candidates genuinely differ
+    assert len({round(v, 6) for v in batched}) > 1
+
+
+def test_batch_log_likelihood_segmented_model_api():
+    from plf_tpu.models.phylo import batch_log_likelihood_segmented
+    from plf_tpu.models.search import nni_neighbors
+
+    n_leaves, n = 10, 200
+    rng = np.random.default_rng(5)
+    tips = rng.integers(0, 4, size=(n_leaves, n))
+    base = random_tree(n_leaves, seed=5)
+    cands = [base] + nni_neighbors(base)[:2]
+    pms = [PhyloModel(t, hky85(2.0), tips, alpha=0.5,
+                      config=PLFConfig(block_sites=128, interpret=True))
+           for t in cands]
+    lls = batch_log_likelihood_segmented(pms)
+    for b, pm in enumerate(pms):
+        ref = pm.log_likelihood(method="segmented").log_likelihood
+        assert lls[b] == pytest.approx(ref, rel=1e-6)
