@@ -128,6 +128,14 @@ def plan_segments(schedule: Sequence[Tuple], n_leaves: int, *, rows: int,
         # slots_needed ≈ 2*cap + 2 (arena) + cap/2-ish I/O; aim
         # cap ≈ slots/3 and pick the largest block giving cap >= 24.
         best = None
+        # The minimum worthwhile segment size scales inversely with the
+        # row count: boundary-checkpoint traffic per segment is
+        # rows-proportional but so is per-op compute, while the BLOCK
+        # SIZE sets streaming efficiency for everyone.  At rows=16
+        # (DNA) cap>=24 at block 2048 measures near-optimal; at rows=80
+        # (protein) block 1024 with cap~10 beats block 256 with cap 29
+        # by 1.3x (r04 prot_tune) — so the floor shrinks as rows grow.
+        cap_floor = max(4, (24 * 16) // rows)
         for bs in range(block_sites, 127, -128):
             if block_sites % bs:
                 continue
@@ -135,7 +143,7 @@ def plan_segments(schedule: Sequence[Tuple], n_leaves: int, *, rows: int,
             # the fac/tip scratch rows
             cap = max(1, (vmem_budget * 2)
                       // (5 * rows * bs * 4 + 2 * op_bytes))
-            if cap >= 24 or bs == 128:
+            if cap >= cap_floor or bs == 128:
                 best = (bs, min(cap, max(1, E)))
                 break
         if best is None:
@@ -485,6 +493,22 @@ def _stacked_plan(plan: SegPlan):
     return out
 
 
+def _stacked_plan_dev(plan: SegPlan):
+    """Device-resident stacked plan arrays (cached per plan: the eager
+    evaluation path calls per likelihood evaluation, and re-uploading
+    even small arrays costs a host->device round-trip each through the
+    tunnel)."""
+    cached = getattr(plan, "_stacked_dev_cache", None)
+    if cached is not None:
+        return cached
+    xs = {k: jnp.asarray(v) for k, v in _stacked_plan(plan).items()}
+    # under an active trace (shard_map/grad), asarray can yield tracers
+    # — never cache those, they poison later traces
+    if all(not isinstance(v, jax.core.Tracer) for v in xs.values()):
+        object.__setattr__(plan, "_stacked_dev_cache", xs)
+    return xs
+
+
 def _seg_args(x):
     """Scalar-prefetch tuple for one scan step's segment."""
     return (x["counts"], x["lsrc"], x["rsrc"], x["rslot"],
@@ -534,8 +558,7 @@ def _run_forward(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
     (row B is the trash row).  One lax.scan, one compiled kernel,
     O(#segments) sequential dispatches on device.
     """
-    st = _stacked_plan(plan)
-    xs = {k: jnp.asarray(v) for k, v in st.items()}
+    xs = _stacked_plan_dev(plan)
     return _seg_scan_fwd(
         xs, codes3, lcs3, rcs3, ec, ttab, rr, n,
         n_boundaries=plan.n_boundaries, seg_tips=plan.seg_tips,
@@ -880,8 +903,7 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
     def bwd(res, cts):
         glik, _ = cts
         codes3, lcs3, rcs3, ec, ttab, rr, n, bbuf = res
-        st = _stacked_plan(plan)
-        xs = {k: jnp.asarray(v) for k, v in st.items()}
+        xs = _stacked_plan_dev(plan)
         gl_tot, gr_tot, gec_tot, grrT_tot = _seg_scan_bwd(
             xs, codes3, lcs3, rcs3, ec, ttab, rr, n, bbuf, glik,
             n_boundaries=plan.n_boundaries, seg_tips=plan.seg_tips,
