@@ -60,8 +60,11 @@ class Segment:
 
     Unified arena coordinates: slots [0, SEG_TIPS) hold expanded tips,
     [SEG_TIPS, SEG_TIPS+SEG_BND) boundary-input CLVs, then one slot per
-    op (op j writes slot SEG_TIPS+SEG_BND+j), plus one trailing dummy
-    slot absorbing padded boundary-output restores.
+    op (op j writes slot SEG_TIPS+SEG_BND+j).  Kernel loops run to the
+    REAL counts (n_tips/n_bnd_in/n_ops), so padded entries are never
+    read — ``ovalid``/``out_slots`` survive only for plan introspection
+    and tests (the direct-DMA kernels export the root via
+    ``root_slot``/``bnd_out_ids``).
     """
 
     tip_ids: np.ndarray      # (SEG_TIPS,) global leaf rows (pad: 0)
@@ -73,7 +76,7 @@ class Segment:
     ovalid: np.ndarray       # (SEG_OPS,) 1 = real op, 0 = padding
     opos: np.ndarray         # (SEG_OPS,) reordered-schedule positions
     n_ops: int
-    out_slots: np.ndarray    # (SEG_OUT,) arena slots to export (pad: dummy)
+    out_slots: np.ndarray    # (SEG_OUT,) arena slots of exports
     bnd_out_ids: np.ndarray  # (SEG_OUT,) global boundary ids of exports
     n_bnd_out: int
     root_slot: int           # arena slot of the segment root
@@ -93,7 +96,7 @@ class SegPlan:
 
     @property
     def arena_slots(self) -> int:
-        return self.seg_tips + self.seg_bnd + self.seg_ops + 1
+        return self.seg_tips + self.seg_bnd + self.seg_ops
 
 
 def plan_segments(schedule: Sequence[Tuple], n_leaves: int, *, rows: int,
