@@ -116,11 +116,18 @@ class StreamingExecutor:
         fenced = self.timing_mode == "fenced"
 
         def fence(*arrs):
-            # scalar round-trips force true device completion (see
-            # module docstring; block_until_ready is not enough through
-            # a relayed device)
+            # ONE scalar round-trip forces true device completion of the
+            # whole phase (block_until_ready is not enough through a
+            # relayed device): a single fetch of a combined scalar that
+            # depends on every array — XLA stream order guarantees all
+            # earlier writes (e.g. the kernel's x3 output) landed before
+            # the dependent scalar is readable, and one fetch keeps the
+            # fence cost to one link round-trip instead of len(arrs).
+            acc = None
             for a in arrs:
-                np.asarray(a[(0,) * a.ndim])
+                v = a[(0,) * a.ndim].astype(jnp.float32)
+                acc = v if acc is None else acc + v
+            np.asarray(acc)
 
         def launch(call):
             begin = t.elapsed_ms()
@@ -132,7 +139,9 @@ class StreamingExecutor:
             x3, sc = self._kernel(x1l, x2l, lc, rc, ec, jnp.int32(n))
             inc = jnp.sum(sc[0, :n] * w)
             if fenced:
-                fence(x3, inc)
+                # inc depends on sc; stream order implies the kernel
+                # (and its x3 write) completed
+                fence(inc)
             t2 = t.elapsed_ms()
             return (n, x3, inc, begin, t1, t2)
 
