@@ -23,6 +23,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--taxa", type=int, default=50)
     ap.add_argument("--sites", type=int, default=16384)
+    ap.add_argument("--max-candidates", type=int, default=None)
+    ap.add_argument("--skip-register", action="store_true",
+                    help="skip the register-machine batch (its lax.map "
+                         "COMPILE grows with taxa count — >23 min at "
+                         "256 taxa x 508 candidates on the remote "
+                         "compiler, where the segmented batch compiles "
+                         "in ~1 min; the segmented engine is the "
+                         "big-taxa path for compile time, not just "
+                         "VMEM)")
+    ap.add_argument("--segmented", action="store_true",
+                    help="also time the batched SEGMENTED scorer "
+                         "(the big-taxa engine)")
     ap.add_argument("--per-candidate", action="store_true",
                     help="also time the old per-candidate path (slow)")
     ap.add_argument("--per-candidate-count", type=int, default=6,
@@ -46,26 +58,59 @@ def main():
     model = hky85(2.0)
 
     cands = nni_neighbors(tree)
+    if args.max_candidates:
+        cands = cands[:args.max_candidates]
     print(f"{args.taxa} taxa, {n_sites} sites, "
           f"{len(cands)} NNI candidates", flush=True)
 
+    pm0 = PhyloModel(tree, model, tips, alpha=0.5, config=cfg)
+
     def build_pms(cs):
-        return [PhyloModel(c, model, tips, alpha=0.5, config=cfg)
+        return [PhyloModel(c, model, tips, alpha=0.5, config=cfg,
+                           share_device_from=pm0)
                 for c in cs]
 
-    # batched: one device dispatch for the whole neighbourhood
-    pms = build_pms(cands)
-    t0 = time.perf_counter()
-    lls = batch_log_likelihood(pms)
-    t_first = time.perf_counter() - t0          # includes the ONE compile
-    t0 = time.perf_counter()
-    pms = build_pms(cands)                      # host model-building cost
-    lls2 = batch_log_likelihood(pms)
-    t_steady = time.perf_counter() - t0
-    assert np.allclose(lls, lls2)
-    print(f"batched round : first {t_first:8.2f} s (incl. compile), "
-          f"steady {t_steady:8.2f} s "
-          f"({t_steady/len(cands)*1e3:.1f} ms/candidate)", flush=True)
+    lls = None
+    if not args.skip_register:
+        # batched: one device dispatch for the whole neighbourhood
+        pms = build_pms(cands)
+        t0 = time.perf_counter()
+        lls = batch_log_likelihood(pms)
+        t_first = time.perf_counter() - t0      # includes the ONE compile
+        t0 = time.perf_counter()
+        pms = build_pms(cands)                  # host model-building cost
+        lls2 = batch_log_likelihood(pms)
+        t_steady = time.perf_counter() - t0
+        assert np.allclose(lls, lls2)
+        print(f"batched round : first {t_first:8.2f} s (incl. compile), "
+              f"steady {t_steady:8.2f} s "
+              f"({t_steady/len(cands)*1e3:.1f} ms/candidate)", flush=True)
+
+    if args.segmented:
+        # big-taxa engine (round 4): the same neighbourhood through the
+        # batched SEGMENTED scorer (stack_plans + lax.map over the
+        # boundary-buffer scan) — one compiled program, O(#segments)
+        # dispatches per candidate.  This is the path search falls back
+        # to when the register-machine arena cannot fit VMEM; comparing
+        # both here shows the crossover.
+        from plf_tpu.models.phylo import batch_log_likelihood_segmented
+        pms = build_pms(cands)
+        t0 = time.perf_counter()
+        lls_s = batch_log_likelihood_segmented(pms)
+        t_sfirst = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        pms = build_pms(cands)
+        lls_s2 = batch_log_likelihood_segmented(pms)
+        t_ssteady = time.perf_counter() - t0
+        assert np.allclose(lls_s, lls_s2)
+        if lls is not None:
+            # both engines must agree (fp32 partials; same op order)
+            assert np.allclose(lls_s, lls, rtol=1e-6), (lls_s[:3], lls[:3])
+        n_seg = len(pms[0]._segmented_inputs()[0].segments)
+        print(f"batched segmented: first {t_sfirst:8.2f} s, steady "
+              f"{t_ssteady:8.2f} s "
+              f"({t_ssteady/len(cands)*1e3:.1f} ms/candidate; "
+              f"{n_seg} segments/candidate)", flush=True)
 
     if args.per_candidate:
         # old path: per-candidate log_likelihood() — each distinct
@@ -79,8 +124,9 @@ def main():
         print(f"per-candidate : {per*1e3:8.1f} ms/candidate "
               f"(x{len(cands)} = {per*len(cands):.2f} s/round estimate, "
               f"one XLA compile per topology)", flush=True)
-        print(f"speedup per round (steady): "
-              f"{per*len(cands)/t_steady:.1f}x", flush=True)
+        if not args.skip_register:
+            print(f"speedup per round (steady): "
+                  f"{per*len(cands)/t_steady:.1f}x", flush=True)
 
 
 if __name__ == "__main__":

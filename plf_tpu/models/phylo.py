@@ -76,7 +76,8 @@ class PhyloModel:
                  config: Optional[PLFConfig] = None,
                  ascertainment: Optional[str] = None,
                  p_inv: Optional[float] = None,
-                 rate_weights: Optional[np.ndarray] = None):
+                 rate_weights: Optional[np.ndarray] = None,
+                 share_device_from: Optional["PhyloModel"] = None):
         """
         Args:
           tip_states: (n_leaves, n_sites) int array of observed states per
@@ -98,6 +99,15 @@ class PhyloModel:
             effective category count becomes ``config.categories + 1``.
           rate_weights: explicit per-category mixture weights (must sum
             to 1); default uniform 1/C.  Mutually exclusive with p_inv.
+          share_device_from: another PhyloModel over the SAME alignment,
+            substitution model and config (different topology/lengths):
+            reuse its device-resident tip codes / weights / tip table /
+            EV operator instead of re-uploading them.  Tree-search
+            neighbourhoods build hundreds of same-alignment models per
+            round — without sharing, every candidate re-uploads the
+            (n_leaves, n_pad) codes matrix (hundreds of MB to GBs of
+            HBM at production sizes; an observed OOM at 256 taxa x 508
+            candidates).
         """
         self.tree = tree
         self.model = model
@@ -185,16 +195,30 @@ class PhyloModel:
         # explicit rate_weights).
         rows = np.repeat(model.root_vector, C) * np.tile(self.rate_weights, S)
         self._root_rows = jnp.asarray(rows.astype(np.float32)).reshape(1, -1)
-        # Tip codes, padded; padding sites get the gap code (harmless).
-        codes = map_tip_codes(self.tip_states, S)
-        codes = L.pad_to_multiple(codes, self.n_pad, axis=-1)
-        codes[:, self.n_sites:] = S
-        if cfg.tip_dtype == "int8":
-            codes = codes.astype(np.int8)
-        self._codes = jnp.asarray(codes)          # (n_leaves, n_pad)
-        wpad = L.pad_to_multiple(self.wgt.reshape(1, -1), self.n_pad,
-                                 axis=-1)
-        self._wgt_dev = jnp.asarray(wpad[0])      # (n_pad,) zeros on padding
+        donor = share_device_from
+        if donor is not None:
+            if (donor.n_pad != self.n_pad or donor.config != self.config
+                    or donor.tip_states.shape != self.tip_states.shape
+                    or donor.model is not self.model):
+                raise ValueError(
+                    "share_device_from needs an identical alignment/"
+                    "model/config (only topology/lengths may differ)")
+            self._codes = donor._codes
+            self._wgt_dev = donor._wgt_dev
+            self._ec = donor._ec
+            self._tip_table = donor._tip_table
+        else:
+            # Tip codes, padded; padding sites get the gap code
+            # (harmless).
+            codes = map_tip_codes(self.tip_states, S)
+            codes = L.pad_to_multiple(codes, self.n_pad, axis=-1)
+            codes[:, self.n_sites:] = S
+            if cfg.tip_dtype == "int8":
+                codes = codes.astype(np.int8)
+            self._codes = jnp.asarray(codes)      # (n_leaves, n_pad)
+            wpad = L.pad_to_multiple(self.wgt.reshape(1, -1), self.n_pad,
+                                     axis=-1)
+            self._wgt_dev = jnp.asarray(wpad[0])  # (n_pad,) padding zeros
         self._traverse = None
         self._fused_cache = None
         self._seg_cache = None

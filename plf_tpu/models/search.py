@@ -194,21 +194,33 @@ def _hill_climb(tree: Tree, model: SubstitutionModel, tip_states,
                          alpha=alpha, config=config)
         if pm0.config.backend is Backend.XLA or len(cands) == 1:
             return np.asarray([ll_of(c) for c in cands])
-        from .phylo import batch_log_likelihood
+        from .phylo import (batch_log_likelihood,
+                            batch_log_likelihood_segmented)
+        # share pm0's device arrays (codes/weights/tables): hundreds of
+        # candidates per round must not re-upload the alignment
         pms = [pm0] + [PhyloModel(c, model, tip_states, wgt=wgt,
-                                  alpha=alpha, config=config)
+                                  alpha=alpha, config=pm0.config,
+                                  share_device_from=pm0)
                        for c in cands[1:]]
+        # Engine crossover: beyond ~160 edges the register-machine
+        # batch's lax.map COMPILE time explodes (measured >23 min at
+        # 256 taxa x 508 candidates on the remote compiler) long before
+        # its VMEM arena overflows; the batched SEGMENTED scorer
+        # compiles in minutes and ran 3.2x faster than per-candidate
+        # there (benchmarks/results/r04_search.txt).
+        if len(pm0.schedule) > 160:
+            try:
+                return batch_log_likelihood_segmented(pms)
+            except ValueError:
+                return np.asarray([ll_of(c) for c in cands])
         try:
             return batch_log_likelihood(pms)
         except ValueError as e:
             if "does not fit" not in str(e):
                 raise   # programming errors must not degrade silently
-            # big-taxa trees: the batched register-machine arena does
-            # not fit VMEM — score the neighbourhood via the batched
-            # SEGMENTED engine (one compiled program, O(#segments)
-            # dispatches per candidate); only if that cannot apply
-            # either, fall back to per-candidate evaluation
-            from .phylo import batch_log_likelihood_segmented
+            # batched register-machine arena does not fit VMEM — the
+            # batched SEGMENTED engine, then per-candidate as a last
+            # resort
             try:
                 return batch_log_likelihood_segmented(pms)
             except ValueError:
