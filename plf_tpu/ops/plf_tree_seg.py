@@ -280,31 +280,27 @@ def _plan_with_cap(schedule, n_leaves, *, rows, block_sites, cap_ops,
 
 
 # ---------------------------------------------------------------------------
-# Forward kernel: one segment = one dispatch, direct-DMA I/O.
+# Fused traversal: ONE pallas dispatch for the whole segmented tree.
 #
-# Round-3 gathered each segment's boundary/tip inputs into PADDED
-# uniform-shape arrays before the kernel (jnp.take per scan step): every
-# segment paid the MAX boundary/tip/op count in HBM traffic and compute
-# even though the mean is far lower (e.g. seg_bnd padded 7 vs mean 0.9
-# at 160 taxa — an 8x inflation on the dominant site-sized streams).
-# Round 4 removes the padding entirely, the TPU-native way:
+# Round-4a ran one pallas_call per segment chained by a lax.scan; the
+# per-segment dispatch prologue and the scan-of-pallas compile cost both
+# grow with segment count.  Round-4b collapses the chain into a single
+# kernel with grid (n_segments, n_blocks) — segment-major, so for every
+# site block a segment's boundary-row DMA writes complete (in-kernel
+# wait, sequential grid) before any later segment reads them; the
+# boundary buffer lives in HBM (memory_space=ANY), is aliased
+# input->output, and carries a trailing scaler-accumulator row so the
+# per-site rescale counts chain across segments without a separate
+# reduction.  Per-segment schedule arrays ride scalar-prefetch SMEM and
+# are indexed by program_id(0); loop trip counts are the segment's REAL
+# counts, so shape padding costs nothing.
 #
-# * tip codes and the boundary buffer stay in HBM (memory_space=ANY);
-#   the kernel issues async copies of EXACTLY the rows the segment
-#   needs (pltpu.make_async_copy with scalar-prefetched row indices) —
-#   the DMA engine is the gather unit, there is no padded materialised
-#   copy and no padded DMA;
-# * loop trip counts (tips/boundaries/ops) are runtime scalars, so
-#   padded ops cost nothing — the uniform scan shape survives only in
-#   the (tiny) schedule arrays;
-# * the segment root is DMA'd straight into its boundary-buffer row
-#   and the buffer is aliased input->output, so the lax.scan carry
-#   updates in place with no scatter and no copy.
-#
-# This is the same mover/compute split as the reference's PL DMA
-# kernels feeding the AIE graph (hls/src/mm2sleft_memDNAwindowComb.cpp
-# streams exactly the window each kernel consumes) — here the "PL" is
-# the TPU's DMA engines driven from inside the kernel.
+# Direct-DMA I/O as in round-4a: the kernel async-copies EXACTLY the
+# boundary rows each segment consumes (the DMA engine is the gather
+# unit — the reference's PL movers stream exactly the window each AIE
+# kernel consumes, hls/src/mm2sleft_memDNAwindowComb.cpp); tip codes
+# stay pipelined VMEM blocks (Mosaic's DMA engine rejects manual int8
+# row copies — minimal repro in benchmarks/results/r04_seg.txt).
 # ---------------------------------------------------------------------------
 
 
@@ -313,42 +309,59 @@ def _seg_fwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
                     codes_ref, bbuf_hbm, lcs_ref, rcs_ref,
                     ec_ref, ttab_ref, rr_ref,
                     bbuf_out, lik_ref, sc_ref,
-                    arena_ref, sem_ref, *,
-                    seg_tips, seg_bnd, seg_ops, states,
+                    arena_ref, scacc_ref, sem_ref, *,
+                    n_boundaries, seg_tips, seg_bnd, seg_ops, states,
                     categories, block_sites, variant="vpu"):
     S, C = states, categories
     rows = S * C
     BS = block_sites
-    site0 = pl.program_id(0) * BS
+    s = pl.program_id(0)
+    site0 = pl.program_id(1) * BS
     idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
     valid = idx < n_ref[0]
     is_mxu = variant.startswith("mxu")
-    n_tips, n_bnd, n_ops = cnt_ref[0], cnt_ref[1], cnt_ref[2]
+    n_tips, n_bnd = cnt_ref[s, 0], cnt_ref[s, 1]
+    n_ops = cnt_ref[s, 2]
+    sc_row = n_boundaries + 1           # trailing scaler-accumulator row
 
     # Boundary CLVs DMA directly from the HBM buffer — EXACTLY the rows
-    # this segment consumes, no padded gather (tip codes stay a
-    # pipelined VMEM block: Mosaic's DMA engine rejects manual int8
-    # row copies, and code rows are 1-4 B/site — padding them is cheap).
+    # this segment consumes; the running per-site scaler count rides the
+    # buffer's trailing row (counts stored exactly as f32).  All chain
+    # rows are read from the ALIASED OUTPUT ref: every row a segment
+    # consumes was written earlier in this same call (plan invariant),
+    # so reads and writes stay within one buffer — correct on hardware
+    # (the alias is the same HBM) AND in interpret mode (which need not
+    # model the aliasing as shared memory).  The only reads of initial
+    # state are the s==0 scaler row, replaced by zeros below.
+    del bbuf_hbm  # aliasing operand only; never read
+
     def bnd_cp(b):
         return pltpu.make_async_copy(
-            bbuf_hbm.at[bnd_idx_ref[b], :, pl.ds(site0, BS)],
+            bbuf_out.at[bnd_idx_ref[s, b], :, pl.ds(site0, BS)],
             arena_ref.at[seg_tips + b], sem_ref)
 
-    # start every input DMA, then wait (copies overlap each other)
+    # full-row DMA for the scaler chain: Mosaic rejects sub-8-sublane
+    # HBM slices ("Slice shape along dimension 1 must be aligned to
+    # tiling (8)"); sublane 0 carries the counts, the rest ride along
+    sc_in = pltpu.make_async_copy(
+        bbuf_out.at[sc_row, :, pl.ds(site0, BS)], scacc_ref, sem_ref)
+
     jax.lax.fori_loop(0, n_bnd, lambda b, c: (bnd_cp(b).start(), c)[1], 0)
+    sc_in.start()
     jax.lax.fori_loop(0, n_bnd, lambda b, c: (bnd_cp(b).wait(), c)[1], 0)
+    sc_in.wait()
 
     def expand(t, _):
-        arena_ref[t] = _expand_tip(codes_ref[t], ttab_ref)
+        arena_ref[t] = _expand_tip(codes_ref[0, t], ttab_ref)
         return 0
 
     jax.lax.fori_loop(0, n_tips, expand, 0)
 
     def body(i, scaler):
-        lcv = lcs_ref[i]
-        rcv = rcs_ref[i]
-        x1 = arena_ref[lsrc_ref[i]]
-        x2 = arena_ref[rsrc_ref[i]]
+        lcv = lcs_ref[0, i]
+        rcv = rcs_ref[0, i]
+        x1 = arena_ref[lsrc_ref[s, i]]
+        x2 = arena_ref[rsrc_ref[s, i]]
         if is_mxu:
             x3, mask = _plf_node_mxu(x1, x2, lcv, rcv, ec_ref[...],
                                      valid, variant=variant)
@@ -361,46 +374,68 @@ def _seg_fwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
 
     scaler = jax.lax.fori_loop(0, n_ops, body,
                                jnp.zeros((1, BS), jnp.int32))
+    # the first segment starts the count chain from zero (its sc-row
+    # read is the uninitialised buffer)
+    prev = jnp.where(s == 0, jnp.zeros((1, BS), jnp.float32),
+                     scacc_ref[0:1, :])
+    total = prev + scaler.astype(jnp.float32)
+    scacc_ref[...] = jnp.broadcast_to(total, scacc_ref.shape)
 
-    x_root = arena_ref[rslot_ref[0]]
+    x_root = arena_ref[rslot_ref[s]]
     lik = rr_ref[0:1, 0:1] * x_root[0:1, :]
     for rrow in range(1, rows):
         lik = lik + rr_ref[0:1, rrow:rrow + 1] * x_root[rrow:rrow + 1, :]
+    # every segment writes its own root lik / running count; the final
+    # segment's (last) visit of each site block is what lands in HBM
     lik_ref[...] = lik
-    sc_ref[...] = scaler
+    sc_ref[...] = total.astype(jnp.int32)
 
-    # export the root CLV straight into its boundary row (the trash row
-    # for the final segment — nothing reads it)
+    # export the root CLV + running scaler count back to the buffer
     out_cp = pltpu.make_async_copy(
-        arena_ref.at[rslot_ref[0]],
-        bbuf_out.at[gout_ref[0], :, pl.ds(site0, BS)], sem_ref)
+        arena_ref.at[rslot_ref[s]],
+        bbuf_out.at[gout_ref[s], :, pl.ds(site0, BS)], sem_ref)
+    sc_out = pltpu.make_async_copy(
+        scacc_ref, bbuf_out.at[sc_row, :, pl.ds(site0, BS)], sem_ref)
     out_cp.start()
+    sc_out.start()
     out_cp.wait()
+    sc_out.wait()
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("seg_tips", "seg_bnd", "seg_ops",
+    static_argnames=("n_boundaries", "seg_tips", "seg_bnd", "seg_ops",
                      "states", "categories", "block_sites", "interpret",
                      "variant"))
-def _seg_fwd_call(seg_arrs, codes_seg, bbuf, lcs_seg, rcs_seg, ec, ttab,
-                  rr, n, *, seg_tips, seg_bnd, seg_ops, states,
-                  categories, block_sites, interpret, variant="vpu"):
+def _seg_fwd_call(seg_arrs, codes_st, bbuf, lcs_st, rcs_st, ec, ttab,
+                  rr, n, *, n_boundaries, seg_tips, seg_bnd, seg_ops,
+                  states, categories, block_sites, interpret,
+                  variant="vpu"):
+    """ONE dispatch for the whole segmented forward.
+
+    ``seg_arrs``: (counts (n_seg, 4), lsrc/rsrc (n_seg, seg_ops),
+    rslot/gout (n_seg,), bnd_idx (n_seg, seg_bnd)) int32 scalar-prefetch
+    arrays; ``codes_st`` (n_seg, seg_tips, 1, n_pad) per-segment tip
+    codes; ``lcs_st``/``rcs_st`` (n_seg, seg_ops, rows, W) per-segment
+    operator stacks; ``bbuf`` (n_boundaries + 2, rows, n_pad) —
+    boundary rows + trash row + scaler-accumulator row — consumed and
+    returned (aliased in place).
+    """
     S, C = states, categories
     rows = S * C
-    n_pad = codes_seg.shape[-1]
-    grid = (n_pad // block_sites,)
+    n_pad = codes_st.shape[-1]
+    n_seg = codes_st.shape[0]
+    grid = (n_seg, n_pad // block_sites)
     n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
     ncode = ttab.shape[-1]
     W = rows if variant.startswith("mxu") else S
 
     kernel = functools.partial(
-        _seg_fwd_kernel, seg_tips=seg_tips, seg_bnd=seg_bnd,
-        seg_ops=seg_ops, states=S, categories=C,
+        _seg_fwd_kernel, n_boundaries=n_boundaries, seg_tips=seg_tips,
+        seg_bnd=seg_bnd, seg_ops=seg_ops, states=S, categories=C,
         block_sites=block_sites, variant=variant)
-    c0 = lambda i, *_: (0, 0)
-    c03 = lambda i, *_: (0, 0, 0)
-    nm3 = lambda i, *_: (0, 0, i)
+    c0 = lambda s, i, *_: (0, 0)
+    seg_c = lambda s, i, *_: (s, 0, 0, 0)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
     bbuf_new, lik, sc = pl.pallas_call(
         kernel,
@@ -408,27 +443,32 @@ def _seg_fwd_call(seg_arrs, codes_seg, bbuf, lcs_seg, rcs_seg, ec, ttab,
             num_scalar_prefetch=7,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((seg_tips, 1, block_sites), nm3,
-                             memory_space=pltpu.VMEM),       # codes_seg
-                any_spec,                                   # bbuf   (HBM)
-                pl.BlockSpec((seg_ops, rows, W), c03,
+                pl.BlockSpec((1, seg_tips, 1, block_sites),
+                             lambda s, i, *_: (s, 0, 0, i),
+                             memory_space=pltpu.VMEM),     # codes_st
+                any_spec,                                  # bbuf (HBM)
+                pl.BlockSpec((1, seg_ops, rows, W), seg_c,
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((seg_ops, rows, W), c03,
+                pl.BlockSpec((1, seg_ops, rows, W), seg_c,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((rows, W), c0, memory_space=pltpu.VMEM),
-                pl.BlockSpec((rows, ncode), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, ncode), c0,
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, rows), c0, memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                any_spec,                                   # bbuf (aliased)
-                pl.BlockSpec((1, block_sites), lambda i, *_: (0, i),
+                any_spec,                                  # bbuf (aliased)
+                pl.BlockSpec((1, block_sites),
+                             lambda s, i, *_: (0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_sites), lambda i, *_: (0, i),
+                pl.BlockSpec((1, block_sites),
+                             lambda s, i, *_: (0, i),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
                 pltpu.VMEM((seg_tips + seg_bnd + seg_ops, rows,
                             block_sites), jnp.float32),
+                pltpu.VMEM((rows, block_sites), jnp.float32),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
@@ -438,15 +478,16 @@ def _seg_fwd_call(seg_arrs, codes_seg, bbuf, lcs_seg, rcs_seg, ec, ttab,
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         # operand index counts the 7 scalar-prefetch args (n + the 6
-        # segment arrays) as 0..6, then codes_seg=7, bbuf=8
+        # segment arrays) as 0..6, then codes_st=7, bbuf=8
         input_output_aliases={8: 0},
         cost_estimate=pl.CostEstimate(
-            flops=23 * rows * n_pad * seg_ops,
-            bytes_accessed=(seg_tips * 4 + 2 * rows * 4 + 8) * n_pad,
+            flops=23 * rows * n_pad * seg_ops * n_seg,
+            bytes_accessed=(seg_tips * 4 + 2 * rows * 4 + 8) * n_pad
+            * n_seg,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n_arr, *seg_arrs, codes_seg, bbuf, lcs_seg, rcs_seg, ec, ttab, rr)
+    )(n_arr, *seg_arrs, codes_st, bbuf, lcs_st, rcs_st, ec, ttab, rr)
     return bbuf_new, lik, sc
 
 
@@ -454,16 +495,14 @@ def _stacked_plan(plan: SegPlan):
     """Stack the per-segment schedule arrays (host, cached per plan).
 
     The segments all share the plan's padded uniform shape, so the whole
-    chain lowers to ONE ``lax.scan`` over these stacked arrays — trace
-    and compile cost is O(1) in tree size (one kernel + one scan body),
-    where a Python loop over segments re-traces every segment into the
-    jaxpr (minutes of tracing at a few hundred taxa).
-
-    Boundary CLVs live in an HBM buffer of ``n_boundaries + 1`` rows;
-    row ``n_boundaries`` is a trash row that the final segment's root
-    export targets.  Kernel loops run to the per-segment REAL counts
-    (``counts``), so the padding in these arrays costs nothing at
-    runtime.
+    traversal lowers to ONE pallas_call with grid (n_segments,
+    n_blocks); these arrays ride scalar-prefetch SMEM and are indexed by
+    the segment grid coordinate.  Boundary CLVs live in an HBM buffer of
+    ``n_boundaries + 2`` rows: row ``n_boundaries`` is a trash row (the
+    final segment's root export target), row ``n_boundaries + 1``
+    accumulates the per-site scaler counts across segments.  Kernel
+    loops run to the per-segment REAL counts (``counts``), so padding
+    in these arrays costs nothing at runtime.
     """
     cached = getattr(plan, "_stacked_cache", None)
     if cached is not None:
@@ -477,20 +516,18 @@ def _stacked_plan(plan: SegPlan):
     def stk(get):
         return np.stack([get(s) for s in segs]).astype(np.int32)
 
-    last = np.zeros(len(segs), np.float32)
-    last[-1] = 1.0
     out = dict(
         tip_ids=stk(lambda s: s.tip_ids),
         bnd_idx=stk(lambda s: s.bnd_in_ids),
         lsrc=stk(lambda s: s.lsrc),
         rsrc=stk(lambda s: s.rsrc),
         opos=stk(lambda s: s.opos),
-        rslot=stk(lambda s: np.asarray([s.root_slot])),
-        gout=stk(lambda s: np.asarray(
-            [s.bnd_out_ids[0] if s.n_bnd_out else trash])),
+        rslot=np.asarray([s.root_slot for s in segs], np.int32),
+        gout=np.asarray(
+            [s.bnd_out_ids[0] if s.n_bnd_out else trash for s in segs],
+            np.int32),
         counts=stk(lambda s: np.asarray(
             [s.n_tips, s.n_bnd_in, s.n_ops, s.n_bnd_out])),
-        last=last,
     )
     object.__setattr__(plan, "_stacked_cache", out)
     return out
@@ -512,63 +549,39 @@ def _stacked_plan_dev(plan: SegPlan):
     return xs
 
 
-def _seg_args(x):
-    """Scalar-prefetch tuple for one scan step's segment."""
-    return (x["counts"], x["lsrc"], x["rsrc"], x["rslot"],
-            x["bnd_idx"], x["gout"])
+def _seg_args(xs):
+    """Scalar-prefetch tuple (order matches the kernels)."""
+    return (xs["counts"], xs["lsrc"], xs["rsrc"], xs["rslot"],
+            xs["bnd_idx"], xs["gout"])
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_boundaries", "seg_tips", "seg_bnd", "seg_ops",
-                     "states", "categories", "block_sites",
-                     "interpret", "variant"))
-def _seg_scan_fwd(xs, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
-                  n_boundaries, seg_tips, seg_bnd, seg_ops,
-                  states, categories, block_sites, interpret,
-                  variant="vpu"):
-    """One lax.scan over the stacked segments (module-level jit so the
-    eager path caches its compile across calls — a per-call scan-body
-    closure would re-trace every evaluation)."""
-    rows = states * categories
-    n_pad = codes3.shape[-1]
-    bbuf0 = jnp.zeros((n_boundaries + 1, rows, n_pad), jnp.float32)
-    sc0 = jnp.zeros((1, n_pad), jnp.int32)
-    lik0 = jnp.zeros((1, n_pad), jnp.float32)
-
-    def body(carry, x):
-        bbuf, sc_tot, _lik = carry
-        codes_seg = jnp.take(codes3, x["tip_ids"], axis=0)
-        lcs_seg = jnp.take(lcs3, x["opos"], axis=0)
-        rcs_seg = jnp.take(rcs3, x["opos"], axis=0)
-        bbuf, lik, sc = _seg_fwd_call(
-            _seg_args(x), codes_seg, bbuf, lcs_seg, rcs_seg, ec, ttab, rr,
-            n, seg_tips=seg_tips, seg_bnd=seg_bnd, seg_ops=seg_ops,
-            states=states, categories=categories,
-            block_sites=block_sites, interpret=interpret,
-            variant=variant)
-        return (bbuf, sc_tot + sc, lik), None
-
-    (bbuf, sc_total, lik), _ = jax.lax.scan(body, (bbuf0, sc0, lik0), xs)
-    return lik, sc_total, bbuf
+def _gather_stacks(xs, codes3, lcs3, rcs3):
+    """Per-segment stacked inputs (one gather per eval, on device)."""
+    codes_st = jnp.take(codes3, xs["tip_ids"], axis=0)
+    lcs_st = jnp.take(lcs3, xs["opos"], axis=0)
+    rcs_st = jnp.take(rcs3, xs["opos"], axis=0)
+    return codes_st, lcs_st, rcs_st
 
 
 def _run_forward(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
                  states, categories, interpret, variant="vpu"):
-    """Scan the per-segment dispatches; returns (lik, sc, bnd_buffer).
+    """One fused dispatch; returns (lik, sc, bnd_buffer).
 
-    ``bnd_buffer``: (n_boundaries+1, rows, n_pad) — every boundary CLV
-    (row B is the trash row).  One lax.scan, one compiled kernel,
-    O(#segments) sequential dispatches on device.
+    ``bnd_buffer``: (n_boundaries + 2, rows, n_pad) — every boundary
+    CLV, a trash row, and the scaler-count row (the VJP residual).
     """
     xs = _stacked_plan_dev(plan)
-    return _seg_scan_fwd(
-        xs, codes3, lcs3, rcs3, ec, ttab, rr, n,
+    rows = states * categories
+    n_pad = codes3.shape[-1]
+    codes_st, lcs_st, rcs_st = _gather_stacks(xs, codes3, lcs3, rcs3)
+    bbuf0 = jnp.zeros((plan.n_boundaries + 2, rows, n_pad), jnp.float32)
+    bbuf, lik, sc = _seg_fwd_call(
+        _seg_args(xs), codes_st, bbuf0, lcs_st, rcs_st, ec, ttab, rr, n,
         n_boundaries=plan.n_boundaries, seg_tips=plan.seg_tips,
-        seg_bnd=plan.seg_bnd, seg_ops=plan.seg_ops,
-        states=states, categories=categories,
-        block_sites=plan.block_sites, interpret=interpret,
-        variant=variant)
+        seg_bnd=plan.seg_bnd, seg_ops=plan.seg_ops, states=states,
+        categories=categories, block_sites=plan.block_sites,
+        interpret=interpret, variant=variant)
+    return lik, sc, bbuf
 
 
 def plf_tree_segmented(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n,
@@ -588,10 +601,12 @@ def plf_tree_segmented(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n,
 
 
 # ---------------------------------------------------------------------------
-# Backward kernel: recompute one segment's interior, reverse-sweep.
-# Same direct-DMA I/O as the forward: bbuf (checkpointed boundary CLVs)
-# and gbuf (boundary adjoints) stay in HBM; only the segment's REAL rows
-# move, and gbuf updates in place through aliasing.
+# Backward: one fused dispatch, segments in reverse grid order.
+# Phase 1 recomputes a segment's interior in the arena, phase 2
+# reverse-sweeps to operator gradients; boundary-input adjoints chain
+# through the gbuf HBM buffer exactly like the forward's boundary CLVs
+# (a segment's boundary-OUTPUT adjoint was written by its consumer,
+# which ran earlier in reverse order).
 # ---------------------------------------------------------------------------
 
 
@@ -602,40 +617,48 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
                     rrT_ref, glik_ref,
                     gbuf_out, gl_ref, gr_ref, gec_ref, grrT_ref,
                     arena_ref, fac_ref, gbout_ref, sem_ref,
-                    *, seg_tips, seg_bnd, seg_ops, states, categories,
-                    block_sites, variant="vpu"):
+                    *, n_seg, n_boundaries, seg_tips, seg_bnd, seg_ops,
+                    states, categories, block_sites, variant="vpu"):
     S, C = states, categories
     rows = S * C
     BS = block_sites
-    site0 = pl.program_id(0) * BS
+    sf = n_seg - 1 - pl.program_id(0)       # forward segment index
+    site0 = pl.program_id(1) * BS
     idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
     valid = idx < n_ref[0]
     is_mxu = variant.startswith("mxu")
     if is_mxu:
         dot, dot_t = make_mxu_dots(variant)
-    n_tips, n_bnd, n_ops = cnt_ref[0], cnt_ref[1], cnt_ref[2]
+    n_tips, n_bnd = cnt_ref[sf, 0], cnt_ref[sf, 1]
+    n_ops = cnt_ref[sf, 2]
 
-    @pl.when(pl.program_id(0) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _():
-        # full zero-init: rows beyond the segment's real op count stay
+        # full zero-init per segment: rows beyond the real op count stay
         # exactly zero, so the caller's scatter-add of padded rows at
         # schedule position 0 is a no-op
         gl_ref[...] = jnp.zeros_like(gl_ref)
         gr_ref[...] = jnp.zeros_like(gr_ref)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0,
+                             pl.program_id(1) == 0))
+    def _():
         gec_ref[...] = jnp.zeros_like(gec_ref)
         grrT_ref[...] = jnp.zeros_like(grrT_ref)
 
     def bnd_cp(b):
         return pltpu.make_async_copy(
-            bbuf_hbm.at[bnd_idx_ref[b], :, pl.ds(site0, BS)],
+            bbuf_hbm.at[bnd_idx_ref[sf, b], :, pl.ds(site0, BS)],
             arena_ref.at[seg_tips + b], sem_ref)
 
     # the adjoint of this segment's boundary output, written earlier in
-    # the reverse scan by its consumer (zero row for the final segment:
-    # gbuf's trash row is never written)
+    # the reverse order by its consumer — read from the ALIASED OUTPUT
+    # ref (in-call chain, as in the forward); the first reverse segment
+    # (the forward root) has no consumer and takes zeros below
+    del gbuf_hbm  # aliasing operand only; never read
     gbout_cp = pltpu.make_async_copy(
-        gbuf_hbm.at[gout_ref[0], :, pl.ds(site0, BS)],
-        gbout_ref, sem_ref)
+        gbuf_out.at[gout_ref[sf], :, pl.ds(site0, BS)], gbout_ref,
+        sem_ref)
 
     jax.lax.fori_loop(0, n_bnd, lambda b, c: (bnd_cp(b).start(), c)[1], 0)
     gbout_cp.start()
@@ -643,17 +666,17 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
     gbout_cp.wait()
 
     def expand(t, _):
-        arena_ref[t] = _expand_tip(codes_ref[t], ttab_ref)
+        arena_ref[t] = _expand_tip(codes_ref[0, t], ttab_ref)
         return 0
 
     jax.lax.fori_loop(0, n_tips, expand, 0)
 
     # ---- phase 1: forward recompute, every op CLV checkpointed ----------
     def fwd_body(i, _):
-        lcv = lcs_ref[i]
-        rcv = rcs_ref[i]
-        x1 = arena_ref[lsrc_ref[i]]
-        x2 = arena_ref[rsrc_ref[i]]
+        lcv = lcs_ref[0, i]
+        rcv = rcs_ref[0, i]
+        x1 = arena_ref[lsrc_ref[sf, i]]
+        x2 = arena_ref[rsrc_ref[sf, i]]
         if is_mxu:
             x3, mask = _plf_node_mxu(x1, x2, lcv, rcv, ec_ref[...],
                                      valid, variant=variant)
@@ -668,14 +691,18 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
 
     jax.lax.fori_loop(0, n_ops, fwd_body, 0)
 
-    # ---- seed the root adjoint: the direct likelihood cotangent (zero
-    # for non-final segments) PLUS the boundary-output adjoint (the
-    # zero trash row for the final segment) — one unconditional sum
-    # covers both cases ----------------------------------------------------
-    g = glik_ref[...] * valid.astype(jnp.float32)
-    x_root = arena_ref[rslot_ref[0]]
+    # ---- seed the root adjoint: the direct likelihood cotangent (only
+    # the FINAL forward segment — the first in reverse order) PLUS the
+    # boundary-output adjoint (the zero trash row for that same final
+    # segment) — one unconditional sum covers both cases ------------------
+    first_rev = pl.program_id(0) == 0
+    lastf = first_rev.astype(jnp.float32)
+    g = glik_ref[...] * valid.astype(jnp.float32) * lastf
+    x_root = arena_ref[rslot_ref[sf]]
     grrT_ref[...] += jnp.sum(x_root * g, axis=1, keepdims=True)
-    arena_ref[rslot_ref[0]] = rrT_ref[...] * g + gbout_ref[...]
+    gbout = jnp.where(first_rev, jnp.zeros((rows, BS), jnp.float32),
+                      gbout_ref[...])
+    arena_ref[rslot_ref[sf]] = rrT_ref[...] * g + gbout
 
     # ---- phase 2: reverse sweep (slots flip CLV -> adjoint) -------------
     # (adjoint identities as in plf_tree_grad._tree_bwd_kernel; the MXU
@@ -684,34 +711,34 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
         i = n_ops - 1 - j
         g_x3 = arena_ref[seg_tips + seg_bnd + i]
         g_y = g_x3 * fac_ref[i]
-        lcv = lcs_ref[i]
-        rcv = rcs_ref[i]
-        x1 = arena_ref[lsrc_ref[i]]
-        x2 = arena_ref[rsrc_ref[i]]
+        lcv = lcs_ref[0, i]
+        rcv = rcs_ref[0, i]
+        x1 = arena_ref[lsrc_ref[sf, i]]
+        x2 = arena_ref[rsrc_ref[sf, i]]
         if is_mxu:
             u1 = dot(lcv, x1)
             u2 = dot(rcv, x2)
             g_p = dot(ecT_ref[...], g_y)
             g_u1 = g_p * u2
             g_u2 = g_p * u1
-            gl_ref[i] += dot_t(g_u1, x1)
-            gr_ref[i] += dot_t(g_u2, x2)
+            gl_ref[0, i] += dot_t(g_u1, x1)
+            gr_ref[0, i] += dot_t(g_u2, x2)
             gec_ref[...] += dot_t(g_y, u1 * u2)
-            gx1 = dot(lcsT_ref[i], g_u1)
-            gx2 = dot(rcsT_ref[i], g_u2)
+            gx1 = dot(lcsT_ref[0, i], g_u1)
+            gx2 = dot(rcsT_ref[0, i], g_u2)
         else:
             u1 = _stage(x1, lcv, S, C)
             u2 = _stage(x2, rcv, S, C)
             g_p = _stage(g_y, ecT_ref, S, C)
             g_u1 = g_p * u2
             g_u2 = g_p * u1
-            gl_ref[i] += _op_grad(x1, g_u1, S, C)
-            gr_ref[i] += _op_grad(x2, g_u2, S, C)
+            gl_ref[0, i] += _op_grad(x1, g_u1, S, C)
+            gr_ref[0, i] += _op_grad(x2, g_u2, S, C)
             gec_ref[...] += _op_grad(u1 * u2, g_y, S, C)
-            gx1 = _stage(g_u1, lcsT_ref[i], S, C)
-            gx2 = _stage(g_u2, rcsT_ref[i], S, C)
-        arena_ref[lsrc_ref[i]] = gx1
-        arena_ref[rsrc_ref[i]] = gx2
+            gx1 = _stage(g_u1, lcsT_ref[0, i], S, C)
+            gx2 = _stage(g_u2, rcsT_ref[0, i], S, C)
+        arena_ref[lsrc_ref[sf, i]] = gx1
+        arena_ref[rsrc_ref[sf, i]] = gx2
         return 0
 
     jax.lax.fori_loop(0, n_ops, bwd_body, 0)
@@ -720,7 +747,8 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
     def gexp_cp(b):
         return pltpu.make_async_copy(
             arena_ref.at[seg_tips + b],
-            gbuf_out.at[bnd_idx_ref[b], :, pl.ds(site0, BS)], sem_ref)
+            gbuf_out.at[bnd_idx_ref[sf, b], :, pl.ds(site0, BS)],
+            sem_ref)
 
     jax.lax.fori_loop(0, n_bnd, lambda b, c: (gexp_cp(b).start(), c)[1], 0)
     jax.lax.fori_loop(0, n_bnd, lambda b, c: (gexp_cp(b).wait(), c)[1], 0)
@@ -728,30 +756,36 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("seg_tips", "seg_bnd", "seg_ops",
+    static_argnames=("n_boundaries", "seg_tips", "seg_bnd", "seg_ops",
                      "states", "categories", "block_sites", "interpret",
                      "variant"))
-def _seg_bwd_call(seg_arrs, codes_seg, bbuf, gbuf, lcs_seg, rcs_seg,
-                  lcsT_seg, rcsT_seg, ec, ecT, ttab, rrT, glik, n, *,
-                  seg_tips, seg_bnd, seg_ops, states, categories,
-                  block_sites, interpret, variant="vpu"):
+def _seg_bwd_call(seg_arrs, codes_st, bbuf, gbuf, lcs_st, rcs_st,
+                  lcsT_st, rcsT_st, ec, ecT, ttab, rrT, glik, n, *,
+                  n_boundaries, seg_tips, seg_bnd, seg_ops, states,
+                  categories, block_sites, interpret, variant="vpu"):
+    """ONE dispatch for the whole segmented backward (reverse segment
+    order).  Returns (gbuf, gl (n_seg, seg_ops, rows, W), gr, gec,
+    grrT); ``gl``/``gr`` rows are indexed by FORWARD segment order."""
     S, C = states, categories
     rows = S * C
-    n_pad = codes_seg.shape[-1]
-    grid = (n_pad // block_sites,)
+    n_pad = codes_st.shape[-1]
+    n_seg = codes_st.shape[0]
+    grid = (n_seg, n_pad // block_sites)
     n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
     ncode = ttab.shape[-1]
     W = rows if variant.startswith("mxu") else S
 
     kernel = functools.partial(
-        _seg_bwd_kernel, seg_tips=seg_tips, seg_bnd=seg_bnd,
-        seg_ops=seg_ops, states=S, categories=C,
-        block_sites=block_sites, variant=variant)
-    c0 = lambda i, *_: (0, 0)
-    c03 = lambda i, *_: (0, 0, 0)
-    nm3 = lambda i, *_: (0, 0, i)
+        _seg_bwd_kernel, n_seg=n_seg, n_boundaries=n_boundaries,
+        seg_tips=seg_tips, seg_bnd=seg_bnd, seg_ops=seg_ops, states=S,
+        categories=C, block_sites=block_sites, variant=variant)
+    c0 = lambda s, i, *_: (0, 0)
+    # per-segment blocks are indexed by the FORWARD segment coordinate
+    # (reverse of the grid's s) so gl/gr rows line up with fwd order
+    seg_r = lambda s, i, *_: (n_seg - 1 - s, 0, 0, 0)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    op3 = pl.BlockSpec((seg_ops, rows, W), c03, memory_space=pltpu.VMEM)
+    op4 = pl.BlockSpec((1, seg_ops, rows, W), seg_r,
+                       memory_space=pltpu.VMEM)
     const = pl.BlockSpec((rows, W), c0, memory_space=pltpu.VMEM)
     gbuf_new, gl, gr, gec, grrT = pl.pallas_call(
         kernel,
@@ -759,20 +793,23 @@ def _seg_bwd_call(seg_arrs, codes_seg, bbuf, gbuf, lcs_seg, rcs_seg,
             num_scalar_prefetch=7,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((seg_tips, 1, block_sites), nm3,
-                             memory_space=pltpu.VMEM),       # codes_seg
-                any_spec,                                   # bbuf
-                any_spec,                                   # gbuf
-                op3, op3, op3, op3,
+                pl.BlockSpec((1, seg_tips, 1, block_sites),
+                             lambda s, i, *_: (n_seg - 1 - s, 0, 0, i),
+                             memory_space=pltpu.VMEM),     # codes_st
+                any_spec,                                  # bbuf
+                any_spec,                                  # gbuf
+                op4, op4, op4, op4,
                 const, const,
-                pl.BlockSpec((rows, ncode), c0, memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, ncode), c0,
+                             memory_space=pltpu.VMEM),
                 pl.BlockSpec((rows, 1), c0, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, block_sites), lambda i, *_: (0, i),
+                pl.BlockSpec((1, block_sites),
+                             lambda s, i, *_: (0, i),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                any_spec,                                   # gbuf (aliased)
-                op3, op3, const,
+                any_spec,                                  # gbuf (aliased)
+                op4, op4, const,
                 pl.BlockSpec((rows, 1), c0, memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
@@ -785,82 +822,23 @@ def _seg_bwd_call(seg_arrs, codes_seg, bbuf, gbuf, lcs_seg, rcs_seg,
         ),
         out_shape=[
             jax.ShapeDtypeStruct(gbuf.shape, jnp.float32),
-            jax.ShapeDtypeStruct((seg_ops, rows, W), jnp.float32),
-            jax.ShapeDtypeStruct((seg_ops, rows, W), jnp.float32),
+            jax.ShapeDtypeStruct((n_seg, seg_ops, rows, W), jnp.float32),
+            jax.ShapeDtypeStruct((n_seg, seg_ops, rows, W), jnp.float32),
             jax.ShapeDtypeStruct((rows, W), jnp.float32),
             jax.ShapeDtypeStruct((rows, 1), jnp.float32),
         ],
-        # scalars 0..6, codes_seg=7, bbuf=8, gbuf=9
+        # scalars 0..6, codes_st=7, bbuf=8, gbuf=9
         input_output_aliases={9: 0},
         cost_estimate=pl.CostEstimate(
-            flops=3 * 23 * rows * n_pad * seg_ops,
-            bytes_accessed=(seg_tips * 4 + 4 * rows * 4 + 4) * n_pad,
+            flops=3 * 23 * rows * n_pad * seg_ops * n_seg,
+            bytes_accessed=(seg_tips * 4 + 4 * rows * 4 + 4) * n_pad
+            * n_seg,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n_arr, *seg_arrs, codes_seg, bbuf, gbuf, lcs_seg, rcs_seg,
-      lcsT_seg, rcsT_seg, ec, ecT, ttab, rrT, glik)
+    )(n_arr, *seg_arrs, codes_st, bbuf, gbuf, lcs_st, rcs_st,
+      lcsT_st, rcsT_st, ec, ecT, ttab, rrT, glik)
     return gbuf_new, gl, gr, gec, grrT
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("n_boundaries", "seg_tips", "seg_bnd", "seg_ops",
-                     "states", "categories", "block_sites",
-                     "interpret", "variant"))
-def _seg_scan_bwd(xs, codes3, lcs3, rcs3, ec, ttab, rr, n, bbuf, glik, *,
-                  n_boundaries, seg_tips, seg_bnd, seg_ops,
-                  states, categories, block_sites, interpret,
-                  variant="vpu"):
-    """Reverse lax.scan over the stacked segments: the adjoint buffer
-    gbuf mirrors the forward's boundary buffer (consumers run before
-    producers in reverse order, so a segment's boundary-output adjoint
-    is already in gbuf when it executes; in-kernel DMA writes update it
-    in place through aliasing).  One trace/compile regardless of
-    segment count, like the forward scan."""
-    S, C = states, categories
-    rows = S * C
-    n_pad = codes3.shape[-1]
-    is_mxu = variant.startswith("mxu")
-    if is_mxu:
-        tT = jnp.transpose                  # block-matrix adjoint
-        ecT = jnp.transpose(ec)
-    else:
-        tT = functools.partial(transpose_lane_constants,
-                               states=S, categories=C)
-        ecT = tT(ec)
-    rrT = jnp.transpose(rr)
-    carry0 = (
-        jnp.zeros((n_boundaries + 1, rows, n_pad), jnp.float32),
-        jnp.zeros_like(lcs3), jnp.zeros_like(rcs3),
-        jnp.zeros_like(ec), jnp.zeros((rows, 1), jnp.float32))
-
-    def body(carry, x):
-        gbuf, gl_tot, gr_tot, gec_tot, grrT_tot = carry
-        codes_seg = jnp.take(codes3, x["tip_ids"], axis=0)
-        lcs_seg = jnp.take(lcs3, x["opos"], axis=0)
-        rcs_seg = jnp.take(rcs3, x["opos"], axis=0)
-        lcsT_seg = jax.vmap(tT)(lcs_seg)
-        rcsT_seg = jax.vmap(tT)(rcs_seg)
-        gs = glik * x["last"]     # root adjoint only on final segment
-        gbuf, gl, gr, gec, grrT = _seg_bwd_call(
-            _seg_args(x), codes_seg, bbuf, gbuf, lcs_seg, rcs_seg,
-            lcsT_seg, rcsT_seg, ec, ecT, ttab, rrT, gs, n,
-            seg_tips=seg_tips, seg_bnd=seg_bnd, seg_ops=seg_ops,
-            states=S, categories=C, block_sites=block_sites,
-            interpret=interpret, variant=variant)
-        # padded ops produce exactly-zero gl/gr rows (zero-init at grid
-        # step 0, never accumulated — the kernel loops stop at the real
-        # op count), so scatter-adding them at padding position 0 is a
-        # no-op.
-        gl_tot = gl_tot.at[x["opos"]].add(gl)
-        gr_tot = gr_tot.at[x["opos"]].add(gr)
-        return (gbuf, gl_tot, gr_tot, gec_tot + gec,
-                grrT_tot + grrT), None
-
-    (_, gl_tot, gr_tot, gec_tot, grrT_tot), _ = jax.lax.scan(
-        body, carry0, xs, reverse=True)
-    return gl_tot, gr_tot, gec_tot, grrT_tot
 
 
 def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
@@ -878,7 +856,8 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
     trees whose single-segment backward arena cannot fit VMEM: VJP
     residuals are the O(#segments) boundary CLVs, each segment's
     backward recomputes its interior in the arena, and boundary-input
-    adjoints chain segment-to-segment in reverse.
+    adjoints chain segment-to-segment in reverse — all inside ONE
+    forward and ONE backward pallas dispatch.
     """
     S, C = states, categories
     rows = S * C
@@ -907,13 +886,35 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
         glik, _ = cts
         codes3, lcs3, rcs3, ec, ttab, rr, n, bbuf = res
         xs = _stacked_plan_dev(plan)
-        gl_tot, gr_tot, gec_tot, grrT_tot = _seg_scan_bwd(
-            xs, codes3, lcs3, rcs3, ec, ttab, rr, n, bbuf, glik,
+        codes_st, lcs_st, rcs_st = _gather_stacks(xs, codes3, lcs3,
+                                                  rcs3)
+        if variant.startswith("mxu"):
+            tT3 = lambda a: jnp.transpose(a, (0, 2, 1))
+            ecT = jnp.transpose(ec)
+        else:
+            tT = functools.partial(transpose_lane_constants,
+                                   states=S, categories=C)
+            tT3 = jax.vmap(tT)
+            ecT = transpose_lane_constants(ec, S, C)
+        lcsT_st = jax.vmap(tT3)(lcs_st)
+        rcsT_st = jax.vmap(tT3)(rcs_st)
+        rrT = jnp.transpose(rr)
+        rows_ = S * C
+        n_pad = codes3.shape[-1]
+        gbuf0 = jnp.zeros((plan.n_boundaries + 1, rows_, n_pad),
+                          jnp.float32)
+        _, gl, gr, gec_tot, grrT_tot = _seg_bwd_call(
+            _seg_args(xs), codes_st, bbuf, gbuf0, lcs_st, rcs_st,
+            lcsT_st, rcsT_st, ec, ecT, ttab, rrT, glik, n,
             n_boundaries=plan.n_boundaries, seg_tips=plan.seg_tips,
-            seg_bnd=plan.seg_bnd, seg_ops=plan.seg_ops,
-            states=S, categories=C,
-            block_sites=plan.block_sites, interpret=interpret,
-            variant=variant)
+            seg_bnd=plan.seg_bnd, seg_ops=plan.seg_ops, states=S,
+            categories=C, block_sites=plan.block_sites,
+            interpret=interpret, variant=variant)
+        # fold the per-segment operator gradients back to schedule
+        # positions (padded rows are exactly zero — zero-init per
+        # segment, loops stop at the real op count)
+        gl_tot = jnp.zeros_like(lcs3).at[xs["opos"]].add(gl)
+        gr_tot = jnp.zeros_like(rcs3).at[xs["opos"]].add(gr)
         return (None, gl_tot, gr_tot, gec_tot, jnp.zeros_like(ttab),
                 jnp.transpose(grrT_tot), None)
 
@@ -925,8 +926,8 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
 # ---------------------------------------------------------------------------
 # Batched same-shape segmented scoring (tree search beyond the
 # register-machine arena): stack many candidates' segment plans into one
-# uniform shape and lax.map the forward scan — O(#segments) dispatches
-# per candidate inside ONE compiled program, the big-taxa analogue of
+# uniform shape and lax.map the fused forward — one dispatch per
+# candidate inside ONE compiled program, the big-taxa analogue of
 # plf_tree_pallas.batched_tree_loglik_parts (reference: 9-instance
 # parallel scoring, /root/reference/Makefile:29).
 # ---------------------------------------------------------------------------
@@ -939,8 +940,8 @@ def stack_plans(plans: Sequence[SegPlan], rows: int,
     Different topologies of the same (E, n_leaves) class segment into
     slightly different shapes; the batch pads every dimension to the
     max and front-pads with no-op segments (all counts zero) so the
-    scan length is uniform — the kernels' runtime trip counts make the
-    padding free.  Returns (xs_b, dims) with xs_b a dict of
+    segment-grid length is uniform — the kernels' runtime trip counts
+    make the padding free.  Returns (xs_b, dims) with xs_b a dict of
     (B, n_seg_max, ...) arrays and dims the uniform static shape.
     """
     n_seg_max = max(len(p.segments) for p in plans)
@@ -956,20 +957,21 @@ def stack_plans(plans: Sequence[SegPlan], rows: int,
         out = {}
         for k, v in st.items():
             v = np.asarray(v)
-            if k == "last":
+            if v.ndim == 1:          # rslot / gout
                 w = np.zeros(n_seg_max, v.dtype)
+                if k == "gout":
+                    # remap this plan's trash row to the batch trash
+                    # row; padded (no-op) segments also export there
+                    v = np.where(v == plan.n_boundaries, trash, v)
+                    w[:] = trash
                 w[n_seg_max - n_seg:] = v
                 out[k] = w
                 continue
-            # pad trailing dims to the batch max, then front-pad segments
             tgt = {"tip_ids": seg_tips, "bnd_idx": seg_bnd,
                    "lsrc": seg_ops, "rsrc": seg_ops, "opos": seg_ops,
-                   "rslot": 1, "gout": 1, "counts": 4}[k]
+                   "counts": 4}[k]
             if v.shape[1] < tgt:
                 v = np.pad(v, ((0, 0), (0, tgt - v.shape[1])))
-            if k == "gout":
-                # remap this plan's trash row to the batch trash row
-                v = np.where(v == plan.n_boundaries, trash, v)
             w = np.zeros((n_seg_max, tgt), v.dtype)
             w[n_seg_max - n_seg:] = v
             out[k] = w
@@ -1000,15 +1002,19 @@ def batched_seg_loglik_parts(xs_b, codes3, lcs3_b, rcs3_b, ec, ttab, rr,
     """(B, n_parts) fp32 partial sums of the weighted per-site
     log-likelihood for B same-shape candidates (rescale counts folded
     in); host-sum in float64 for the final ll per candidate."""
+    rows = states * categories
     n_pad = codes3.shape[-1]
     chunk = n_pad // n_parts
     log_minlik = jnp.float32(np.log(np.float64(2.0) ** -32))
 
     def one(args):
         xs, lcs3, rcs3 = args
-        lik, sc, _ = _seg_scan_fwd(
-            xs, codes3, lcs3, rcs3, ec, ttab, rr, n,
-            n_boundaries=n_boundaries, seg_tips=seg_tips,
+        codes_st, lcs_st, rcs_st = _gather_stacks(xs, codes3, lcs3,
+                                                  rcs3)
+        bbuf0 = jnp.zeros((n_boundaries + 2, rows, n_pad), jnp.float32)
+        _, lik, sc = _seg_fwd_call(
+            _seg_args(xs), codes_st, bbuf0, lcs_st, rcs_st, ec, ttab,
+            rr, n, n_boundaries=n_boundaries, seg_tips=seg_tips,
             seg_bnd=seg_bnd, seg_ops=seg_ops, states=states,
             categories=categories, block_sites=block_sites,
             interpret=interpret, variant=variant)
@@ -1017,3 +1023,4 @@ def batched_seg_loglik_parts(xs_b, codes3, lcs3_b, rcs3_b, ec, ttab, rr,
         return jnp.sum(site.reshape(n_parts, chunk), axis=-1)
 
     return jax.lax.map(one, (xs_b, lcs3_b, rcs3_b))
+
