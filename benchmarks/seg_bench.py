@@ -72,6 +72,10 @@ def grad_case(n_taxa, n_sites, block=4096, reps=4, tip_dtype="int32"):
     # chained-slope protocol has the same problem plus K-fold tracing;
     # at this size one eval is ~100s of ms, so the ~2 ms/dispatch
     # tunnel overhead is a few % and slope cancellation isn't worth it.
+    # sanity reference FIRST (its boundary buffers free before the
+    # timed gradient evaluations — at the largest shape the two
+    # together sit at the HBM capacity edge)
+    ref = pm.log_likelihood(method="segmented").log_likelihood
     ev = jax.value_and_grad(fn)
     v, g = ev(t0j)
     float(np.asarray(v))                      # compile + warm
@@ -86,9 +90,7 @@ def grad_case(n_taxa, n_sites, block=4096, reps=4, tip_dtype="int32"):
         f"{dt*1e3:.1f} ms/eval, {nsps/1e9:.2f} G node-sites/s "
         f"(E={e}; incl. per-dispatch tunnel overhead)")
     # sanity: gradient finite and ll matches forward evaluation
-    v, g = ev(t0j)
     assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
-    ref = pm.log_likelihood(method="segmented").log_likelihood
     assert abs(float(v) - ref) < 1e-5 * abs(ref) + 1e-6, (float(v), ref)
     return dt
 
