@@ -172,12 +172,36 @@ class PhyloModel:
             enc_branch = lambda b: L.branch_to_lane_constants(b, S, C)
             self._ec = jnp.asarray(
                 L.ev_to_lane_constants(model.plf_ev, S, C))
+        # Encoded-operator cache, shared across same-model/rates
+        # candidates via share_device_from: a tree-search round builds
+        # hundreds of same-alignment models whose branch-length
+        # MULTISET barely changes (NNI preserves it; SPR halves one),
+        # and the per-edge eigen-expm + encoding dominates candidate
+        # construction (~0.8 s/candidate measured at 256 taxa).
+        donor = share_device_from
+        if donor is not None and (
+                donor.model is not model
+                or not np.array_equal(donor.rates, self.rates)
+                or donor.config != self.config):
+            raise ValueError(
+                "share_device_from needs an identical model/rates/"
+                "config (only topology/branch lengths may differ)")
+        self._branch_cache = ({} if donor is None
+                              else donor._branch_cache)
+
+        def enc_cached(t):
+            key = float(t)
+            v = self._branch_cache.get(key)
+            if v is None:
+                v = np.asarray(enc_branch(
+                    branch_matrices(model, key, self.rates, C)))
+                self._branch_cache[key] = v
+            return v
+
         lcs, rcs = [], []
         for _, _, _, tl, tr in self.schedule:
-            lcs.append(enc_branch(
-                branch_matrices(model, tl, self.rates, C)))
-            rcs.append(enc_branch(
-                branch_matrices(model, tr, self.rates, C)))
+            lcs.append(enc_cached(tl))
+            rcs.append(enc_cached(tr))
         self._lcs = jnp.asarray(np.stack(lcs))   # (E, rows, S|rows)
         self._rcs = jnp.asarray(np.stack(rcs))
         # Tip expansion table: column b (b < S) is the eigen-coordinate
@@ -195,14 +219,12 @@ class PhyloModel:
         # explicit rate_weights).
         rows = np.repeat(model.root_vector, C) * np.tile(self.rate_weights, S)
         self._root_rows = jnp.asarray(rows.astype(np.float32)).reshape(1, -1)
-        donor = share_device_from
         if donor is not None:
-            if (donor.n_pad != self.n_pad or donor.config != self.config
-                    or donor.tip_states.shape != self.tip_states.shape
-                    or donor.model is not self.model):
+            if (donor.n_pad != self.n_pad
+                    or donor.tip_states.shape != self.tip_states.shape):
                 raise ValueError(
-                    "share_device_from needs an identical alignment/"
-                    "model/config (only topology/lengths may differ)")
+                    "share_device_from needs an identical alignment "
+                    "(only topology/branch lengths may differ)")
             self._codes = donor._codes
             self._wgt_dev = donor._wgt_dev
             self._ec = donor._ec
