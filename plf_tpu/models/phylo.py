@@ -385,24 +385,32 @@ class PhyloModel:
         return fit_block_sites(self.tree.n_leaves + n_slots, cfg.rows,
                                cfg.block_sites) is not None
 
+    def _kernel_tip_table(self):
+        """Tip table per lane-major row: ttab[(a,c), col] = tbl[a, col]
+        (state + gap + IUPAC partial-ambiguity columns)."""
+        if getattr(self, "_ttab_cache", None) is None:
+            from ..io.alignment import tip_expansion_table
+            S, C = self.config.states, self.config.categories
+            wg = tip_expansion_table(self.model.w, S)
+            self._ttab_cache = jnp.asarray(
+                np.repeat(wg, C, axis=0).astype(np.float32))
+        return self._ttab_cache
+
     def _fused_inputs(self):
         if self._fused_cache is not None:
             return self._fused_cache
         cfg = self.config
         S, C = cfg.states, cfg.categories
         sched = reorder_schedule(self.schedule, self.tree.n_leaves)
-        # _lcs/_rcs are stacked (E, rows, S) in original edge order; pack
-        # lane-dense (rows, E*S) for the tree kernel.
-        lcs = jnp.concatenate([self._lcs[e] for e in range(len(self.schedule))],
-                              axis=1)
-        rcs = jnp.concatenate([self._rcs[e] for e in range(len(self.schedule))],
-                              axis=1)
-        # Tip table per lane-major row: ttab[(a,c), col] = tbl[a, col]
-        # (state + gap + IUPAC partial-ambiguity columns).
-        from ..io.alignment import tip_expansion_table
-        wg = tip_expansion_table(self.model.w, S)
-        ttab = jnp.asarray(np.repeat(wg, C, axis=0).astype(np.float32))
-        self._fused_cache = (sched, lcs, rcs, ttab)
+        # _lcs/_rcs are stacked (E, rows, W) in original edge order;
+        # pack lane-dense (rows, E*W) for the tree kernel — ONE
+        # transpose+reshape, not an E-way concatenation (each slice of
+        # which is a device dispatch: ~0.4 s/candidate at 256 taxa
+        # through the tunnel).
+        W = self._lcs.shape[-1]
+        lcs = jnp.transpose(self._lcs, (1, 0, 2)).reshape(cfg.rows, -1)
+        rcs = jnp.transpose(self._rcs, (1, 0, 2)).reshape(cfg.rows, -1)
+        self._fused_cache = (sched, lcs, rcs, self._kernel_tip_table())
         return self._fused_cache
 
     # Unrolled-kernel node budget: above this, the register-machine
@@ -477,7 +485,7 @@ class PhyloModel:
             pos_sched, n_leaves, rows=cfg.rows,
             block_sites=cfg.block_sites,
             op_width=cfg.rows if variant.startswith("mxu") else 0)
-        _, _, _, ttab = self._fused_inputs()
+        ttab = self._kernel_tip_table()
         codes3 = self._codes.reshape(self._codes.shape[0], 1, -1)
         self._seg_cache = (plan, codes3, lcs3, rcs3, ttab)
         return self._seg_cache
@@ -689,7 +697,7 @@ def batch_log_likelihood(pms) -> np.ndarray:
     sched_stack = tuple(jnp.asarray(np.stack(stacks[k])) for k in range(7))
     lcs_st = jnp.stack(lcs_l)
     rcs_st = jnp.stack(rcs_l)
-    _, _, _, ttab = pm0._fused_inputs()
+    ttab = pm0._kernel_tip_table()
     interpret = cfg.interpret or (jax.default_backend() != "tpu")
     n_parts = pm0.n_pad // cfg.block_sites
     from ..ops.plf_tree_pallas import fit_block_sites
@@ -753,6 +761,7 @@ def batch_log_likelihood_segmented(pms) -> np.ndarray:
     xs_b_np, dims = stack_plans(plans, cfg.rows)
     xs_b = {k: jnp.asarray(v) for k, v in xs_b_np.items()}
     _, codes3, _, _, ttab = pm0._segmented_inputs()
+    # (codes3/ttab come from pm0; per-candidate models share them)
     interpret = cfg.interpret or (jax.default_backend() != "tpu")
     n_parts = pm0.n_pad // cfg.block_sites
     parts = batched_seg_loglik_parts(
