@@ -134,15 +134,24 @@ def infer_main(argv):
 
 
 def _detect_protein(text: str) -> bool:
-    """Protein if any sequence letter is amino-acid-only (not in the
-    DNA IUPAC set)."""
+    """Protein if a meaningful FRACTION of residues falls outside the
+    plain-DNA alphabet (>10%) — a stray X/ambiguity code in a DNA file
+    must not silently flip the whole alignment to the 20-state
+    encoding (the RAxML-style heuristic: DNA alignments are >~90%
+    ACGTUN/gap)."""
     from .io.alignment import parse_fasta, parse_phylip
     if text.lstrip().startswith(">"):
         _, seqs = parse_fasta(text)
     else:
         _, seqs = parse_phylip(text)
-    dna = set("ACGTUNRYSWKMBDHV-?.acgtunryswkmbdhv")
-    return any(ch not in dna for seq in seqs for ch in seq)
+    dna = set("ACGTUN-?.acgtun")
+    total = nondna = 0
+    for seq in seqs:
+        for ch in seq:
+            total += 1
+            if ch not in dna:
+                nondna += 1
+    return total > 0 and nondna / total > 0.10
 
 
 def _parse_alignment(text: str, protein: bool = False):

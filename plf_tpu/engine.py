@@ -186,15 +186,32 @@ class PLFEngine:
 
         x1l = batch_lane(x1)
         x2l = batch_lane(jnp.asarray(x2))
+        # batched operator encodings in pure jnp (trace-compatible, no
+        # per-instance host round-trips): lane form row k*C+c col a =
+        # b[c,k,a]; block form M[k*C+c, a*C+c] = b[c,k,a] via a
+        # constant-index scatter (layout.branch_to_block_matrix
+        # semantics, vectorised over the instance axis)
+        lm = jnp.asarray(left, jnp.float32).reshape(ni, C, S, S)
+        rm = jnp.asarray(right, jnp.float32).reshape(ni, C, S, S)
+        em = jnp.asarray(ev, jnp.float32).reshape(ni, S, S)  # [i, k, a]
         if variant.startswith("mxu"):
-            enc_b = lambda m: L.branch_to_block_matrix(m, S, C)
-            enc_e = lambda m: L.ev_to_block_matrix(m, S, C)
+            cc, kk, aa = np.meshgrid(np.arange(C), np.arange(S),
+                                     np.arange(S), indexing="ij")
+            ridx = jnp.asarray(kk * C + cc)
+            cidx = jnp.asarray(aa * C + cc)
+            z = jnp.zeros((ni, S * C, S * C), jnp.float32)
+            lc = z.at[:, ridx, cidx].set(lm)
+            rc = z.at[:, ridx, cidx].set(rm)
+            # EV block: M[a*C+c, k*C+c] = ev[k, a]  (value at index
+            # position [c, k, a] is ev[k, a], broadcast over c)
+            eidx_r = jnp.asarray(aa * C + cc)
+            eidx_c = jnp.asarray(kk * C + cc)
+            ec = z.at[:, eidx_r, eidx_c].set(
+                jnp.broadcast_to(em[:, None, :, :], (ni, C, S, S)))
         else:
-            enc_b = lambda m: L.branch_to_lane_constants(m, S, C)
-            enc_e = lambda m: L.ev_to_lane_constants(m, S, C)
-        lc = jnp.stack([enc_b(np.asarray(left)[i]) for i in range(ni)])
-        rc = jnp.stack([enc_b(np.asarray(right)[i]) for i in range(ni)])
-        ec = jnp.stack([enc_e(np.asarray(ev)[i]) for i in range(ni)])
+            lc = jnp.transpose(lm, (0, 2, 1, 3)).reshape(ni, S * C, S)
+            rc = jnp.transpose(rm, (0, 2, 1, 3)).reshape(ni, S * C, S)
+            ec = jnp.repeat(jnp.transpose(em, (0, 2, 1)), C, axis=1)
         kern = functools.partial(
             plf_pallas_lane_major, states=S, categories=C,
             block_sites=cfg.block_sites, interpret=cfg.interpret,

@@ -323,8 +323,12 @@ def _tree_backend_block(pm: PhyloModel,
 
     cfg = pm.config
     E = len(pm.schedule)
+    # must match make_tree_diff's own validation exactly (it counts the
+    # operator stacks at width S for the VPU form too) — a mismatch
+    # makes the selector approve blocks the factory rejects and auto
+    # crash instead of falling back to the segmented backend
     W = (cfg.rows if cfg.resolved_kernel_variant.startswith("mxu")
-         else 0)
+         else cfg.states)
     # Only 128-multiple divisors of the configured block are valid: the
     # PLFConfig lane constraint must hold AND the block must divide
     # n_pad (which is a multiple of cfg.block_sites).

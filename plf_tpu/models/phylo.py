@@ -163,15 +163,21 @@ class PhyloModel:
 
         # --- device constants, all shipped once -----------------------------
         # Variant-specific operator encodings (vpu: per-source-state lane
-        # columns; mxu: (rows, rows) block matrices).
+        # columns; mxu: (rows, rows) block matrices).  With a donor the
+        # shared constants are not rebuilt/re-uploaded (hundreds of
+        # candidates per search round).
+        _donor0 = share_device_from
         if (cfg.resolved_kernel_variant.startswith("mxu")
                 and cfg.backend is not Backend.XLA):
             enc_branch = lambda b: L.branch_to_block_matrix(b, S, C)
-            self._ec = jnp.asarray(L.ev_to_block_matrix(model.plf_ev, S, C))
+            if _donor0 is None:
+                self._ec = jnp.asarray(
+                    L.ev_to_block_matrix(model.plf_ev, S, C))
         else:
             enc_branch = lambda b: L.branch_to_lane_constants(b, S, C)
-            self._ec = jnp.asarray(
-                L.ev_to_lane_constants(model.plf_ev, S, C))
+            if _donor0 is None:
+                self._ec = jnp.asarray(
+                    L.ev_to_lane_constants(model.plf_ev, S, C))
         # Encoded-operator cache, shared across same-model/rates
         # candidates via share_device_from: a tree-search round builds
         # hundreds of same-alignment models whose branch-length
@@ -211,24 +217,35 @@ class PhyloModel:
         # RAxML tip-vector semantics, /root/reference/app/src/plf.cpp:21-22
         # consumes arbitrary tip CLVs).
         from ..io.alignment import map_tip_codes, tip_expansion_table
-        tbl = tip_expansion_table(model.w, S)    # (S, S+1+A)
-        self._tip_table = jnp.asarray(tbl.astype(np.float32))
-        self._n_codes = tbl.shape[1]
+        if _donor0 is None:
+            tbl = tip_expansion_table(model.w, S)    # (S, S+1+A)
+            self._tip_table = jnp.asarray(tbl.astype(np.float32))
+            self._n_codes = tbl.shape[1]
+        else:
+            self._n_codes = _donor0._n_codes
         # Root reduction over lane-major rows (row = a*C + c): pi^T U
         # weighted by the category mixture (uniform 1/C unless +I or
         # explicit rate_weights).
         rows = np.repeat(model.root_vector, C) * np.tile(self.rate_weights, S)
         self._root_rows = jnp.asarray(rows.astype(np.float32)).reshape(1, -1)
         if donor is not None:
-            if (donor.n_pad != self.n_pad
-                    or donor.tip_states.shape != self.tip_states.shape):
+            same_aln = (donor.tip_states is self.tip_states
+                        or (donor.tip_states.shape
+                            == self.tip_states.shape
+                            and np.array_equal(donor.tip_states,
+                                               self.tip_states)))
+            same_wgt = (donor.wgt is self.wgt
+                        or np.array_equal(donor.wgt, self.wgt))
+            if donor.n_pad != self.n_pad or not same_aln or not same_wgt:
                 raise ValueError(
-                    "share_device_from needs an identical alignment "
-                    "(only topology/branch lengths may differ)")
+                    "share_device_from needs an identical alignment and"
+                    " site weights (only topology/branch lengths may "
+                    "differ)")
             self._codes = donor._codes
             self._wgt_dev = donor._wgt_dev
             self._ec = donor._ec
             self._tip_table = donor._tip_table
+            self._ttab_cache = donor._kernel_tip_table()
         else:
             # Tip codes, padded; padding sites get the gap code
             # (harmless).
@@ -758,7 +775,9 @@ def batch_log_likelihood_segmented(pms) -> np.ndarray:
         plans.append(plan)
         lcs_l.append(lcs3)
         rcs_l.append(rcs3)
-    xs_b_np, dims = stack_plans(plans, cfg.rows)
+    xs_b_np, dims = stack_plans(
+        plans, cfg.rows,
+        op_width=cfg.rows if variant.startswith("mxu") else 0)
     xs_b = {k: jnp.asarray(v) for k, v in xs_b_np.items()}
     _, codes3, _, _, ttab = pm0._segmented_inputs()
     # (codes3/ttab come from pm0; per-candidate models share them)

@@ -211,7 +211,9 @@ def _hill_climb(tree: Tree, model: SubstitutionModel, tip_states,
         if len(pm0.schedule) > 160:
             try:
                 return batch_log_likelihood_segmented(pms)
-            except ValueError:
+            except ValueError as e:
+                if "does not fit" not in str(e):
+                    raise   # programming errors must not degrade silently
                 return np.asarray([ll_of(c) for c in cands])
         try:
             return batch_log_likelihood(pms)

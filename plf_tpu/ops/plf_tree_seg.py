@@ -934,15 +934,23 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
 
 
 def stack_plans(plans: Sequence[SegPlan], rows: int,
-                vmem_budget: int = ARENA_VMEM_BUDGET):
+                vmem_budget: int = ARENA_VMEM_BUDGET,
+                op_width: int = 0):
     """Pad per-candidate SegPlans to one batch-uniform shape.
 
     Different topologies of the same (E, n_leaves) class segment into
     slightly different shapes; the batch pads every dimension to the
     max and front-pads with no-op segments (all counts zero) so the
     segment-grid length is uniform — the kernels' runtime trip counts
-    make the padding free.  Returns (xs_b, dims) with xs_b a dict of
-    (B, n_seg_max, ...) arrays and dims the uniform static shape.
+    make the padding free.  Arena-slot coordinates (lsrc/rsrc/rslot)
+    were assigned against each plan's OWN seg_tips/seg_bnd offsets and
+    are REMAPPED to the batch-max layout (slot regions [0, T), [T,
+    T+B), [T+B, ...) with the batch statics) — without this every
+    candidate whose dims differ from the batch max reads the wrong
+    arena slots.  ``op_width``: operator-stack width (rows for MXU
+    variants), counted against the VMEM budget like plan_segments does.
+    Returns (xs_b, dims) with xs_b a dict of (B, n_seg_max, ...) arrays
+    and dims the uniform static shape.
     """
     n_seg_max = max(len(p.segments) for p in plans)
     seg_tips = max(p.seg_tips for p in plans)
@@ -951,12 +959,22 @@ def stack_plans(plans: Sequence[SegPlan], rows: int,
     n_bnd_max = max(p.n_boundaries for p in plans)
     trash = n_bnd_max
 
+    def remap_slots(v, plan):
+        """Plan-local unified arena coords -> batch-max coords."""
+        t, b = plan.seg_tips, plan.seg_bnd
+        is_bnd = (v >= t) & (v < t + b)
+        is_op = v >= t + b
+        return np.where(is_op, v - (t + b) + seg_tips + seg_bnd,
+                        np.where(is_bnd, v - t + seg_tips, v))
+
     def pad_plan(plan):
         st = _stacked_plan(plan)
         n_seg = len(plan.segments)
         out = {}
         for k, v in st.items():
             v = np.asarray(v)
+            if k in ("lsrc", "rsrc", "rslot"):
+                v = remap_slots(v, plan)
             if v.ndim == 1:          # rslot / gout
                 w = np.zeros(n_seg_max, v.dtype)
                 if k == "gout":
@@ -980,11 +998,15 @@ def stack_plans(plans: Sequence[SegPlan], rows: int,
     padded = [pad_plan(p) for p in plans]
     xs_b = {k: np.stack([d[k] for d in padded]) for k in padded[0]}
     # refit the block for the batch-max arena (each plan fitted its own
-    # dims; the max across plans can be slightly larger)
+    # dims; the max across plans can be slightly larger), counting the
+    # forward kernel's two per-segment operator stacks like
+    # plan_segments does
     bs = fit_block_sites(seg_tips + seg_bnd + seg_ops + 2, rows,
-                         min(p.block_sites for p in plans), vmem_budget)
+                         min(p.block_sites for p in plans),
+                         vmem_budget - 2 * seg_ops * rows * op_width * 4)
     if bs is None:
-        raise ValueError("batched segment arena does not fit VMEM")
+        raise ValueError(
+            "batched segment arena does not fit VMEM")
     dims = dict(n_boundaries=n_bnd_max, seg_tips=seg_tips,
                 seg_bnd=seg_bnd, seg_ops=seg_ops, block_sites=bs)
     return xs_b, dims

@@ -37,3 +37,15 @@ def test_pipeline_fit_alpha_pinv():
     assert res.alpha is not None and res.alpha > 0
     assert res.p_inv is not None and 0 < res.p_inv < 1
     assert np.isfinite(res.log_likelihood)
+
+
+def test_detect_protein_tolerates_stray_symbols():
+    """A few stray non-ACGT characters must not flip a DNA alignment to
+    the protein alphabet (round-4 review finding); a real protein
+    alignment must be detected."""
+    from plf_tpu.__main__ import _detect_protein
+
+    dna = ">a\nACGTACGTXXACGTACGTACGT\n>b\nACGTACGTAC-TACGTACGTNN\n"
+    assert not _detect_protein(dna)
+    prot = ">a\nMKVLITEDSQFE\n>b\nMKLLVSEDWQFE\n"
+    assert _detect_protein(prot)

@@ -349,3 +349,47 @@ def test_batch_log_likelihood_segmented_model_api():
     for b, pm in enumerate(pms):
         ref = pm.log_likelihood(method="segmented").log_likelihood
         assert lls[b] == pytest.approx(ref, rel=1e-6)
+
+
+def test_batched_segmented_nonuniform_plan_dims():
+    """Regression (round-4 review): candidates whose segment plans have
+    DIFFERENT seg_tips/seg_bnd/seg_ops must still score correctly —
+    arena-slot coordinates are plan-local and must be remapped to the
+    batch-max layout (without the remap every non-max candidate reads
+    the wrong slots: NaN / wildly wrong lls)."""
+    from plf_tpu.ops.plf_tree_seg import (batched_seg_loglik_parts,
+                                          stack_plans)
+
+    n_leaves, n = 14, 300
+    rng = np.random.default_rng(21)
+    tips = rng.integers(0, 4, size=(n_leaves, n))
+    from plf_tpu.models.search import spr_neighbors
+    base = random_tree(n_leaves, seed=21)
+    cands = [base] + spr_neighbors(base, max_neighbors=6, seed=1)
+    pms = [PhyloModel(t, hky85(2.0), tips, alpha=0.5,
+                      config=PLFConfig(block_sites=128)) for t in cands]
+
+    plans, lcs_l, rcs_l = [], [], []
+    for i, pm in enumerate(pms):
+        sched = _pos_sched(pm)
+        # vary the cap per candidate to FORCE non-uniform plan dims
+        plans.append(plan_segments(sched, n_leaves, rows=16,
+                                   block_sites=128, cap_ops=3 + (i % 4)))
+        _, lcs3, rcs3, _, _, _ = _seg_inputs(pm)
+        lcs_l.append(lcs3)
+        rcs_l.append(rcs3)
+    dims_seen = {(p.seg_tips, p.seg_bnd, p.seg_ops) for p in plans}
+    assert len(dims_seen) > 1, "test needs non-uniform plan dims"
+    xs_b, dims = stack_plans(plans, 16)
+    codes3, _, _, ec, ttab, rr = _seg_inputs(pms[0])
+    wpad = pms[0]._wgt_dev.astype(jnp.float32)
+    parts = batched_seg_loglik_parts(
+        {k: jnp.asarray(v) for k, v in xs_b.items()}, codes3,
+        jnp.stack(lcs_l), jnp.stack(rcs_l), ec, ttab, rr, wpad,
+        jnp.int32(n), states=4, categories=4, interpret=True,
+        n_parts=pms[0].n_pad // 128, **dims)
+    batched = np.asarray(parts, np.float64).sum(axis=1)
+    assert np.all(np.isfinite(batched))
+    for b, pm in enumerate(pms):
+        ref = pm.log_likelihood(method="segmented").log_likelihood
+        assert batched[b] == pytest.approx(ref, rel=1e-6), (b, ref)

@@ -146,3 +146,27 @@ def test_resolved_variant_auto_protein_is_mxu_3x():
                      ).resolved_kernel_variant == "mxu_3x"
     assert PLFConfig(states=4, kernel_variant="auto"
                      ).resolved_kernel_variant == "vpu"
+
+
+def test_backend_selector_agrees_with_factory():
+    """Regression (round-4 review): _tree_backend_block must size the
+    backward with the same op_width as make_tree_diff's own validation,
+    or auto approves a block the factory then rejects (crash instead of
+    falling back to the segmented backend)."""
+    from plf_tpu.models.optimize import _tree_backend_block
+    from plf_tpu.ops.plf_tree_grad import make_tree_diff
+    from plf_tpu.ops.plf_tree_pallas import reorder_schedule
+
+    pm = _make_pm(n_leaves=126, n=100, states=20, variant="vpu",
+                  categories=4)
+    bs = _tree_backend_block(pm)
+    if bs is not None:
+        sched_r = reorder_schedule(pm.schedule, pm.tree.n_leaves)
+        # must NOT raise: the selector's approval is the factory's bound
+        make_tree_diff(sched_r, pm.tree.n_leaves, states=20,
+                       categories=4, block_sites=bs, interpret=True)
+    # and the segmented fallback always exists for this shape
+    fn, t0 = __import__("plf_tpu.models.optimize",
+                        fromlist=["tree_loglik_fn"]).tree_loglik_fn(
+        pm, backend="segmented")
+    assert np.isfinite(float(fn(jnp.asarray(t0))))
