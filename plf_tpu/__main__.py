@@ -67,8 +67,9 @@ def infer_main(argv):
                          "empirical ladder for protein data")
     ap.add_argument("--seq-type", default="auto",
                     choices=["auto", "dna", "protein"],
-                    help="alignment alphabet; 'auto' detects protein "
-                         "from amino-acid-only letters (E/F/I/L/P/Q/Z)")
+                    help="alignment alphabet; 'auto' treats the data as "
+                         "protein when >10%% of residues fall outside "
+                         "the DNA alphabet incl. IUPAC ambiguity codes")
     ap.add_argument("--kappa", type=float, default=2.0,
                     help="HKY transition/transversion ratio")
     ap.add_argument("--alpha", type=float, default=None,
@@ -103,7 +104,11 @@ def infer_main(argv):
         from .config import PLFConfig
         from .models import model_select, nj_tree
         comp = aln.compressed()
-        start = nj_tree(comp.codes, comp.weights)
+        # the NJ distances must use the alignment's alphabet size:
+        # with the default states=4, protein codes 4-19 would count as
+        # gap/ambiguous and the start tree degenerates
+        start = nj_tree(comp.codes, comp.weights,
+                        states=20 if protein else 4)
         cfg_sel = PLFConfig(states=20) if protein else None
         sel = model_select(start, comp.codes, wgt=comp.weights,
                            config=cfg_sel)
@@ -135,16 +140,19 @@ def infer_main(argv):
 
 def _detect_protein(text: str) -> bool:
     """Protein if a meaningful FRACTION of residues falls outside the
-    plain-DNA alphabet (>10%) — a stray X/ambiguity code in a DNA file
+    DNA alphabet (>10%) — a stray X/ambiguity code in a DNA file
     must not silently flip the whole alignment to the 20-state
     encoding (the RAxML-style heuristic: DNA alignments are >~90%
-    ACGTUN/gap)."""
+    ACGTUN/IUPAC/gap).  The DNA set includes the IUPAC nucleotide
+    ambiguity codes (R/Y/S/W/K/M/B/D/H/V and X): an ambiguity-rich
+    DNA alignment is still DNA."""
     from .io.alignment import parse_fasta, parse_phylip
     if text.lstrip().startswith(">"):
         _, seqs = parse_fasta(text)
     else:
         _, seqs = parse_phylip(text)
-    dna = set("ACGTUN-?.acgtun")
+    dna = set("ACGTUN-?.RYSWKMBDHVX")
+    dna |= set(c.lower() for c in dna)
     total = nondna = 0
     for seq in seqs:
         for ch in seq:

@@ -84,6 +84,16 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False,
     backend, falling back to segmented when even that arena cannot fit
     (benchmarks/treegrad_bench.py, benchmarks/seg_bench.py).
     """
+    if pm.config.resolved_kernel_variant == "mxu_bf16":
+        # 1-pass bf16 rounds near-underflow site likelihoods negative
+        # through deep trees (measured ll drift 1.16e-01 on hardware,
+        # r04_protein.csv; its gradient comparison is meaningless) —
+        # any optimisation through it silently fits noise.
+        raise ValueError(
+            "kernel_variant='mxu_bf16' is a bandwidth mode for forward "
+            "streaming only; its likelihood drift makes optimisation "
+            "unsound — use 'mxu_3x' (fp32-grade, ~half the MXU passes "
+            "of 'mxu') for training/fitting")
     if backend == "auto":
         if mesh is not None:
             # sharded: whole-tree VJP when its arena fits, else the

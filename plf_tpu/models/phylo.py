@@ -669,6 +669,36 @@ class PhyloModel:
         return float(np.sum(np.log(lik) * self.wgt))
 
 
+def _validate_batch_identity(pms) -> None:
+    """Same-ALIGNMENT/model validation for the batch scorers.
+
+    Shape equality alone is not enough: two models over different
+    alignments (or substitution models / rates) of identical shape
+    would pass a shape check and return silently wrong likelihoods.
+    Sharing via ``share_device_from`` makes the arrays identical
+    objects, so the common case costs `is` checks only.
+    """
+    pm0 = pms[0]
+    for pm in pms[1:]:
+        same_aln = (pm.tip_states is pm0.tip_states
+                    or (pm.tip_states.shape == pm0.tip_states.shape
+                        and np.array_equal(pm.tip_states, pm0.tip_states)))
+        same_wgt = (pm.wgt is pm0.wgt or np.array_equal(pm.wgt, pm0.wgt))
+        same_model = (pm.model is pm0.model
+                      or (np.array_equal(pm.model.pi, pm0.model.pi)
+                          and np.array_equal(pm.model.eigenvalues,
+                                             pm0.model.eigenvalues)
+                          and np.array_equal(pm.model.u, pm0.model.u)))
+        if (not same_aln or not same_wgt or not same_model
+                or not np.array_equal(pm.rates, pm0.rates)
+                or not np.array_equal(pm.rate_weights, pm0.rate_weights)):
+            raise ValueError(
+                "batch scoring needs identical alignment/weights/model/"
+                "rates across candidates (only topology and branch "
+                "lengths may differ); build candidates with "
+                "share_device_from")
+
+
 def batch_log_likelihood(pms) -> np.ndarray:
     """Score many same-shape topologies in ONE device dispatch.
 
@@ -695,6 +725,7 @@ def batch_log_likelihood(pms) -> np.ndarray:
         if (len(pm.schedule) != E or pm.tree.n_leaves != n_leaves
                 or pm.n_pad != pm0.n_pad or pm.config != cfg):
             raise ValueError("batch_log_likelihood needs same-shape models")
+    _validate_batch_identity(pms)
     if pm0.ascertainment is not None:
         raise ValueError("ascertainment not supported in the batch path")
 
@@ -766,6 +797,7 @@ def batch_log_likelihood_segmented(pms) -> np.ndarray:
                 or pm.n_pad != pm0.n_pad or pm.config != cfg):
             raise ValueError(
                 "batch_log_likelihood_segmented needs same-shape models")
+    _validate_batch_identity(pms)
     if pm0.ascertainment is not None:
         raise ValueError("ascertainment not supported in the batch path")
 

@@ -237,11 +237,19 @@ def _hill_climb(tree: Tree, model: SubstitutionModel, tip_states,
         best_move_ll = best_ll
         cands = neighbors_fn(current)
         if cands:
-            lls = score_all(cands)
+            # The INCUMBENT is scored in the same batch as the
+            # candidates: batched and single-model evaluations differ
+            # by fp32 reduction order (documented rtol ~1e-6), so a
+            # cross-scorer epsilon comparison could accept a spurious
+            # "improvement" on a near-tie and loop on it.  Within one
+            # scorer the comparison is deterministic and needs no
+            # epsilon.
+            lls = score_all([current] + cands)
             evals += len(cands)
-            i = int(np.argmax(lls))
-            if lls[i] > best_move_ll + 1e-9:
-                best_move_ll = float(lls[i])
+            inc_ll = float(lls[0])
+            i = int(np.argmax(lls[1:]))
+            if lls[1 + i] > inc_ll:
+                best_move_ll = float(lls[1 + i])
                 best_move = cands[i]
         if best_move is None:
             break

@@ -257,10 +257,15 @@ def _plan_with_cap(schedule, n_leaves, *, rows, block_sites, cap_ops,
             n_bnd_out=len(outs),
             root_slot=seg_tips + seg_bnd + in_seg[root]))
 
-    # shrink the block until arena + small scratch + operator stacks fit
-    # (direct-DMA kernels hold no padded I/O blocks in VMEM; scratch
-    # beyond the arena is the tip/fac/gbout rows ≈ 2 slots worth)
-    fitted = fit_block_sites(seg_tips + seg_bnd + seg_ops + 2,
+    # shrink the block until arena + small scratch + operator stacks fit.
+    # Scratch beyond the (tips + bnd + ops) arena, in slot-equivalents:
+    # the scaler-accumulator row (1), the backward's fac array
+    # ((seg_ops, 1, BS) f32 ~ seg_ops/rows slots), its gbout row (1)
+    # and the pipelined codes block ((seg_tips, 1, BS) ~ seg_tips/rows
+    # slots int32) — without counting these the planner can approve a
+    # block the Mosaic compiler then rejects at the budget boundary.
+    extra = 2 + -(-(seg_ops + seg_tips) // max(rows, 1))
+    fitted = fit_block_sites(seg_tips + seg_bnd + seg_ops + extra,
                              rows, block_sites,
                              vmem_budget - seg_ops * op_bytes)
     if fitted is None:
@@ -1000,8 +1005,9 @@ def stack_plans(plans: Sequence[SegPlan], rows: int,
     # refit the block for the batch-max arena (each plan fitted its own
     # dims; the max across plans can be slightly larger), counting the
     # forward kernel's two per-segment operator stacks like
-    # plan_segments does
-    bs = fit_block_sites(seg_tips + seg_bnd + seg_ops + 2, rows,
+    # plan_segments does (same scratch slot-equivalents accounting)
+    extra = 2 + -(-(seg_ops + seg_tips) // max(rows, 1))
+    bs = fit_block_sites(seg_tips + seg_bnd + seg_ops + extra, rows,
                          min(p.block_sites for p in plans),
                          vmem_budget - 2 * seg_ops * rows * op_width * 4)
     if bs is None:

@@ -134,7 +134,9 @@ def test_spr_round_scores_in_one_batched_dispatch(monkeypatch):
                config=PLFConfig(block_sites=128), max_rounds=1,
                max_neighbors=10)
     assert calls["batch"] == 1
-    assert calls["sizes"][0] == 10
+    # 10 candidates + the incumbent scored in the same batch (the
+    # epsilon-free same-scorer comparison)
+    assert calls["sizes"][0] == 11
 
 
 def test_spr_search_improves():
