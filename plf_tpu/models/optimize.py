@@ -35,7 +35,7 @@ from ..reference import MIN_LIKELIHOOD, TWO_TO_THE_32
 from .phylo import LOG_MINLIK, PhyloModel
 
 __all__ = ["tree_loglik_fn", "optimize_branch_lengths", "optimize_alpha",
-           "optimize_pinv", "fit_model"]
+           "optimize_pinv", "fit_model", "fit_codon"]
 
 
 def _plf_stage(x1, x2, left, right, ev, S, C):
@@ -434,9 +434,16 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
 
     if segmented:
         from ..ops.plf_tree_seg import make_tree_diff_segmented
+        if cfg.dtype == "bfloat16":
+            import warnings
+            warnings.warn(
+                "optimising through bf16 boundary-CLV storage: "
+                "likelihoods/gradients carry ~1e-3-class rounding from "
+                "the bf16 streams; use dtype='float32' for final fits",
+                stacklevel=2)
         tdiff_local = make_tree_diff_segmented(
             sched_r, n_leaves, states=S, categories=C, block_sites=bs,
-            interpret=interpret, variant=variant)
+            interpret=interpret, variant=variant, dtype=cfg.dtype)
     else:
         tdiff_local = make_tree_diff(sched_r, n_leaves, states=S,
                                      categories=C, block_sites=bs,
@@ -850,3 +857,109 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
     if fit_alpha:
         return fitted, t_opt, ll0, ll1, alpha_hat
     return fitted, t_opt, ll0, ll1
+
+
+# ---------------------------------------------------------------------------
+# Codon-model fitting: ML estimation of the GY94 omega (dN/dS) and kappa
+# on the 2-D profile likelihood.  dN/dS estimation is the reason codon
+# models exist; this is the host-side model workflow around the S=61
+# kernel path (the reference computes the PLF under caller-supplied
+# operators, /root/reference/app/src/plf.cpp:8-68 — producing those
+# operators from data is the production step above it).
+# ---------------------------------------------------------------------------
+
+
+def fit_codon(tree, tip_states, wgt=None, alpha: Optional[float] = None,
+              config=None, pi: Optional[np.ndarray] = None,
+              kappa0: float = 2.0, omega0: float = 0.5,
+              kappa_bounds=(0.2, 40.0), omega_bounds=(1e-3, 10.0),
+              rounds: int = 3, iters: int = 10,
+              fit_lengths: bool = True, length_steps: int = 60,
+              fit_alpha: bool = False, verbose: bool = False):
+    """Maximum-likelihood GY94 fit: omega (dN/dS), kappa, F3x4
+    frequencies, branch lengths (and optionally the gamma shape).
+
+    ``tip_states``: (n_leaves, n_codons) codon state codes
+    (substitution.encode_codon_alignment).  Frequencies default to the
+    F3x4 estimate from the data (substitution.f3x4_from_codes).
+
+    Strategy: coordinate golden-section on the (log kappa, log omega)
+    profile — each candidate rebuilds the 61-state eigendecomposition
+    on host (~ms) and evaluates ONE whole-tree likelihood on device;
+    all evaluations share a single compiled kernel per tree shape, so
+    a fit costs ~``2 * rounds * iters`` device calls.  Branch lengths
+    are fitted under the initial model (device VJP through the MXU
+    ladder — ``kernel_variant`` auto-resolves to mxu_3x at S=61) and
+    re-fitted under the winner.  The 2-D profile is smooth and
+    near-unimodal in practice (the standard codeml experience); use
+    more ``rounds`` for flat likelihood surfaces.
+
+    Returns ``(model, info)`` with ``info`` a dict holding kappa,
+    omega, alpha, lengths (node-indexed vector) and ll.
+    """
+    from ..config import PLFConfig
+    from .phylo import PhyloModel
+    from .substitution import codon_gy94, f3x4_from_codes
+    from .tree import Tree, TreeNode
+
+    codes = np.asarray(tip_states)
+    if pi is None:
+        pi = f3x4_from_codes(codes, wgt)
+    cfg = config or PLFConfig(states=61, kernel_variant="auto",
+                              block_sites=1024)
+
+    def with_lengths(t: Tree, t_vec) -> Tree:
+        nodes = [TreeNode(n.index, n.name,
+                          float(t_vec[n.index]) if n.index < len(t_vec)
+                          else n.length, n.children)
+                 for n in t.nodes]
+        return Tree(nodes=nodes, root=t.root)
+
+    kappa, omega = float(kappa0), float(omega0)
+    alpha_hat = alpha
+
+    def ll_of(k: float, w: float, t: Tree) -> float:
+        m = codon_gy94(k, w, pi)
+        pm = PhyloModel(t, m, codes, wgt=wgt, alpha=alpha_hat,
+                        config=cfg)
+        return pm.log_likelihood().log_likelihood
+
+    # initial branch lengths under the starting model
+    if fit_lengths:
+        pm = PhyloModel(tree, codon_gy94(kappa, omega, pi), codes,
+                        wgt=wgt, alpha=alpha_hat, config=cfg)
+        t_opt, _, _ = optimize_branch_lengths(pm, steps=length_steps)
+        tree = with_lengths(tree, np.asarray(t_opt))
+
+    for r in range(rounds):
+        lw, _ = _golden_section(
+            lambda x: ll_of(kappa, float(np.exp(x)), tree),
+            np.log(omega_bounds[0]), np.log(omega_bounds[1]), iters)
+        omega = float(np.exp(lw))
+        lk, _ = _golden_section(
+            lambda x: ll_of(float(np.exp(x)), omega, tree),
+            np.log(kappa_bounds[0]), np.log(kappa_bounds[1]), iters)
+        kappa = float(np.exp(lk))
+        if fit_alpha:
+            pm = PhyloModel(tree, codon_gy94(kappa, omega, pi), codes,
+                            wgt=wgt, alpha=alpha_hat or 0.5, config=cfg)
+            alpha_hat, _, _ = optimize_alpha(pm)
+        if verbose:
+            print(f"fit_codon round {r}: kappa={kappa:.3f} "
+                  f"omega={omega:.4f} alpha={alpha_hat}", flush=True)
+
+    model = codon_gy94(kappa, omega, pi)
+    if fit_lengths:
+        pm = PhyloModel(tree, model, codes, wgt=wgt, alpha=alpha_hat,
+                        config=cfg)
+        t_opt, _, ll = optimize_branch_lengths(pm,
+                                               steps=length_steps // 2)
+        tree = with_lengths(tree, np.asarray(t_opt))
+    else:
+        t_opt = np.asarray([tree.nodes[i].length
+                            for i in range(tree.n_nodes - 1)])
+        ll = ll_of(kappa, omega, tree)
+    info = dict(kappa=kappa, omega=omega, alpha=alpha_hat,
+                lengths=np.asarray(t_opt), ll=float(ll), pi=pi,
+                tree=tree)
+    return model, info

@@ -522,7 +522,8 @@ class PhyloModel:
         lik, sc = plf_tree_segmented(
             plan, codes3, lcs3, rcs3, self._ec, ttab, self._root_rows,
             self.n_sites, states=cfg.states, categories=cfg.categories,
-            interpret=interpret, variant=cfg.resolved_kernel_variant)
+            interpret=interpret, variant=cfg.resolved_kernel_variant,
+            dtype=cfg.dtype)
         scaler_total = int(np.asarray(jnp.sum(sc[0] * self._wgt_dev)))
         return self._finalise_ll(np.asarray(lik)[0], np.asarray(sc)[0],
                                  scaler_total)
@@ -819,7 +820,8 @@ def batch_log_likelihood_segmented(pms) -> np.ndarray:
         xs_b, codes3, jnp.stack(lcs_l), jnp.stack(rcs_l), pm0._ec, ttab,
         pm0._root_rows, pm0._wgt_dev.astype(jnp.float32),
         jnp.int32(pm0.n_sites), states=S, categories=C,
-        interpret=interpret, variant=variant, n_parts=n_parts, **dims)
+        interpret=interpret, variant=variant, n_parts=n_parts,
+        dtype=cfg.dtype, **dims)
     return np.asarray(parts, np.float64).sum(axis=1)
 
 

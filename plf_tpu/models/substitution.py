@@ -37,7 +37,7 @@ import numpy as np
 __all__ = ["SubstitutionModel", "jc69", "hky85", "gtr", "random_gtr",
            "discrete_gamma_rates", "branch_matrices",
            "SENSE_CODONS", "codon_gy94", "f3x4_frequencies",
-           "encode_codon_alignment"]
+           "f3x4_from_codes", "encode_codon_alignment"]
 
 # ACGT index order for DNA convenience helpers.
 DNA_STATES = "ACGT"
@@ -233,6 +233,35 @@ def f3x4_frequencies(pos_freqs: np.ndarray) -> np.ndarray:
     return pi / pi.sum()
 
 
+def f3x4_from_codes(codes: np.ndarray,
+                    wgt: Optional[np.ndarray] = None) -> np.ndarray:
+    """F3x4 codon frequencies estimated from observed codon codes.
+
+    ``codes``: (n_leaves, n_sites) codon state codes (values >= 61 =
+    gap/ambiguous, ignored).  Decomposes each observed sense codon into
+    its three nucleotide positions, accumulates per-position ACGT
+    counts (optionally ``wgt``-weighted) and applies the standard F3x4
+    estimator (:func:`f3x4_frequencies`).  This is the data-driven
+    frequency step of the GY94 fitting workflow (codeml's F3x4).
+    """
+    codes = np.asarray(codes)
+    S = len(SENSE_CODONS)
+    nuc = {b: i for i, b in enumerate(DNA_STATES)}
+    # (61, 3) nucleotide index of each sense codon position
+    pos_idx = np.asarray([[nuc[c[p]] for p in range(3)]
+                          for c in SENSE_CODONS])
+    w = (np.ones(codes.shape[1]) if wgt is None
+         else np.asarray(wgt, np.float64))
+    counts = np.full((3, 4), 1e-6)
+    valid = (codes >= 0) & (codes < S)
+    for p in range(3):
+        nucs = np.where(valid, pos_idx[np.clip(codes, 0, S - 1), p], -1)
+        for b in range(4):
+            counts[p, b] += ((nucs == b) * w[None, :]).sum()
+    counts /= counts.sum(axis=1, keepdims=True)
+    return f3x4_frequencies(counts)
+
+
 def encode_codon_alignment(dna_states: np.ndarray) -> np.ndarray:
     """(n_leaves, 3*n_codons) DNA state codes -> (n_leaves, n_codons)
     codon state codes.
@@ -314,10 +343,15 @@ def parse_paml_matrix(text: str) -> Tuple[np.ndarray, np.ndarray]:
 BUILTIN_PROTEIN_MODELS = ("lg", "wag", "jtt", "dayhoff", "mtrev", "cprev")
 
 
-def empirical_protein(source: str) -> SubstitutionModel:
+def empirical_protein(source: str,
+                      pi: Optional[np.ndarray] = None
+                      ) -> SubstitutionModel:
     """Build a 20-state model from PAML ``.dat`` text, a file path, or a
     built-in name ("lg", "wag", "jtt", "dayhoff", "mtrev", "cprev") —
-    any PAML-distribution file parses directly."""
+    any PAML-distribution file parses directly.  ``pi`` overrides the
+    matrix's published equilibrium frequencies (the "+F" convention:
+    empirical exchangeabilities with frequencies observed from the
+    data)."""
     import os
     text = source
     if source.lower() in BUILTIN_PROTEIN_MODELS:
@@ -328,9 +362,9 @@ def empirical_protein(source: str) -> SubstitutionModel:
     elif "\n" not in source and os.path.exists(source):
         with open(source) as f:
             text = f.read()
-    R, pi = parse_paml_matrix(text)
+    R, pi_file = parse_paml_matrix(text)
     iu = np.triu_indices(20, k=1)
-    return gtr(R[iu], pi)
+    return gtr(R[iu], pi_file if pi is None else np.asarray(pi))
 
 
 def gamma_invariant_rates(alpha: Optional[float], p_inv: float,

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..reference import MIN_LIKELIHOOD, TWO_TO_THE_32
 from . import layout as L
-from .plf_pallas import MXU_PRECISION, _dot_bf16x3
+from .plf_pallas import MXU_PRECISION, _dot_bf16x3, make_mxu_dots
 
 __all__ = ["plf_tree_pallas", "plf_tree_pallas_dynamic", "schedule_depth",
            "reorder_schedule", "compile_register_schedule",
@@ -125,7 +125,7 @@ def schedule_depth(schedule: Sequence[Tuple], n_leaves: int) -> int:
     return peak
 
 
-def _expand_tip(code_row, ttab_ref):
+def _expand_tip(code_row, ttab_ref, dot=None):
     """int32 codes (1, BS) -> (rows, BS) eigen-coordinate tip CLV.
 
     Exact: sum of one matched table column and zeros (0*x == 0, 0+v == v
@@ -135,9 +135,24 @@ def _expand_tip(code_row, ttab_ref):
     Codes may be stored int8 (config.tip_dtype) to quarter the HBM
     stream; Mosaic has no int8 vector compare ("Target does not support
     this comparison"), so widen in-register before the ==.
+
+    With ``dot`` (an MXU dot from plf_pallas.make_mxu_dots) the
+    expansion runs as ONE ``ttab @ onehot`` matmul on the systolic array
+    instead of ncode VPU select/accumulate passes over (rows, BS) —
+    ~20x fewer VPU ops, the dominant per-segment cost at small caps for
+    S>=20.  For the 6-pass "mxu" dot this stays exact (each output sums
+    one matched product and exact zeros); the reduced-pass variants
+    inherit their documented error class (the bf16 hi/lo table split
+    rounds at ~2^-17 relative — below mxu_3x's 1e-5 matmul class).
     """
     if code_row.dtype != jnp.int32:
         code_row = code_row.astype(jnp.int32)
+    if dot is not None:
+        ncode = ttab_ref.shape[-1]
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (ncode, code_row.shape[-1]), 0)
+        onehot = (code_row == iota).astype(jnp.float32)  # (ncode, BS)
+        return dot(ttab_ref[...], onehot)
     acc = None
     for s in range(ttab_ref.shape[-1]):
         m = (code_row == s).astype(jnp.float32)          # (1, BS)
@@ -207,11 +222,13 @@ def _tree_kernel(n_ref, codes_ref, lcs_ref, rcs_ref, ec_ref, ttab_ref,
             refcount[ch] = refcount.get(ch, 0) + 1
     scaler = jnp.zeros((1, BS), jnp.int32)
     W = S * C if variant.startswith("mxu") else S  # packed operator width
+    tip_dot = (make_mxu_dots(variant)[0] if variant.startswith("mxu")
+               else None)
 
     def get_child(node):
         if node < n_leaves:
             code_row = codes_ref[node:node + 1, :]
-            return _expand_tip(code_row, ttab_ref)
+            return _expand_tip(code_row, ttab_ref, dot=tip_dot)
         return stack[node]
 
     for (parent, l, r, _, _, e) in schedule:
@@ -422,8 +439,11 @@ def _tree_kernel_dynamic(n_ref, lsrc_ref, rsrc_ref, oslot_ref, eidx_ref,
     # tree, so the preload adds no work, only removes branches).  The
     # dynamic index stays on the LEADING dim: Mosaic cannot index lanes
     # or sublanes at runtime-unaligned offsets.
+    tip_dot = (make_mxu_dots(variant)[0] if variant.startswith("mxu")
+               else None)
+
     def preload(l, _):
-        arena_ref[l] = _expand_tip(codes_ref[l], ttab_ref)
+        arena_ref[l] = _expand_tip(codes_ref[l], ttab_ref, dot=tip_dot)
         return 0
 
     jax.lax.fori_loop(0, n_leaves, preload, 0)

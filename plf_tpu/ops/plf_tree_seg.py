@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -52,6 +53,12 @@ from .plf_tree_pallas import (ARENA_VMEM_BUDGET, _expand_tip, _plf_node,
 
 __all__ = ["plan_segments", "SegPlan", "Segment", "plf_tree_segmented",
            "make_tree_diff_segmented"]
+
+
+def _pipeline_default() -> bool:
+    """Manual-DMA prefetch on/off (PLF_SEG_PIPELINE=0 disables; the
+    serial flow issues+waits every copy inline — the bisect control)."""
+    return os.environ.get("PLF_SEG_PIPELINE", "1") != "0"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -258,14 +265,16 @@ def _plan_with_cap(schedule, n_leaves, *, rows, block_sites, cap_ops,
             root_slot=seg_tips + seg_bnd + in_seg[root]))
 
     # shrink the block until arena + small scratch + operator stacks fit.
-    # Scratch beyond the (tips + bnd + ops) arena, in slot-equivalents:
-    # the scaler-accumulator row (1), the backward's fac array
-    # ((seg_ops, 1, BS) f32 ~ seg_ops/rows slots), its gbout row (1)
-    # and the pipelined codes block ((seg_tips, 1, BS) ~ seg_tips/rows
-    # slots int32) — without counting these the planner can approve a
-    # block the Mosaic compiler then rejects at the budget boundary.
-    extra = 2 + -(-(seg_ops + seg_tips) // max(rows, 1))
-    fitted = fit_block_sites(seg_tips + seg_bnd + seg_ops + extra,
+    # The boundary region is DOUBLED for DMA prefetch; scratch beyond
+    # the (tips + 2*bnd + ops) arena, in slot-equivalents: the forward's
+    # scacc/stage/scst double buffers (6 rows total; the backward's
+    # gbout double buffer is smaller), the backward's fac array
+    # ((seg_ops, 1, BS) f32 ~ seg_ops/rows slots) and the pipelined
+    # codes block ((seg_tips, 1, BS) ~ seg_tips/rows slots int32) —
+    # without counting these the planner can approve a block the Mosaic
+    # compiler then rejects at the budget boundary.
+    extra = 6 + -(-(seg_ops + seg_tips) // max(rows, 1))
+    fitted = fit_block_sites(seg_tips + 2 * seg_bnd + seg_ops + extra,
                              rows, block_sites,
                              vmem_budget - seg_ops * op_bytes)
     if fitted is None:
@@ -309,64 +318,163 @@ def _plan_with_cap(schedule, n_leaves, *, rows, block_sites, cap_ops,
 # ---------------------------------------------------------------------------
 
 
+def _phys_slot(v, seg_tips, seg_bnd, ph):
+    """Plan arena coord -> physical coord in the double-buffered arena.
+
+    Plan layout: [tips(T) | bnd(B) | ops(O)]; physical layout doubles
+    the boundary region for DMA prefetch: [tips | bnd ph0 | bnd ph1 |
+    ops].  ``ph`` is the block-parity input phase.
+    """
+    return v + seg_bnd * jnp.where(v >= seg_tips + seg_bnd, 1,
+                                   jnp.where(v >= seg_tips, ph, 0))
+
+
 def _seg_fwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
                     bnd_idx_ref, gout_ref,
-                    codes_ref, bbuf_hbm, lcs_ref, rcs_ref,
+                    codes_ref, bbuf_hbm, scbuf_hbm, lcs_ref, rcs_ref,
                     ec_ref, ttab_ref, rr_ref,
-                    bbuf_out, lik_ref, sc_ref,
-                    arena_ref, scacc_ref, sem_ref, *,
-                    n_boundaries, seg_tips, seg_bnd, seg_ops, states,
-                    categories, block_sites, variant="vpu"):
+                    bbuf_out, scbuf_out, lik_ref, sc_ref,
+                    arena_ref, bnd16_ref, scacc_ref, stage_ref, scst_ref,
+                    sem_in, sem_out, *,
+                    n_seg, n_blocks, n_boundaries, seg_tips, seg_bnd,
+                    seg_ops, states, categories, block_sites,
+                    variant="vpu", io_bf16=False, pipeline=True):
+    """Fused segmented forward with double-buffered manual DMA.
+
+    The manual boundary-row DMAs are the one data stream the Pallas grid
+    pipeline cannot prefetch (everything bound via BlockSpecs is already
+    double-buffered by Mosaic); issuing and waiting them serially per
+    grid step left the DMA latency unoverlapped — measured as the bulk
+    of the segmented engine's gap vs the fused single-arena kernel.
+    Scheme (site blocks innermost, so within a segment the same rows
+    stream block after block):
+
+    * boundary-CLV + scaler-chain inputs for block i+1 are ISSUED during
+      block i's compute into the opposite phase of a doubled arena
+      region (block-parity phase ``ph``); each segment's first block
+      issues and waits inline (one stall per segment);
+    * the root/scaler exports are staged into ``stage``/``scst`` and
+      waited ``lag`` steps later (step-parity phase, so consecutive
+      steps never collide even across segment transitions with odd
+      block counts); ``lag`` = 2 where the grid allows, which keeps the
+      export DMA entirely off the critical path.
+
+    Ordering safety: an input DMA issued at step k only ever reads rows
+    exported by SEGMENTS strictly earlier (>= n_blocks - 1 steps away),
+    and every export is waited <= lag steps after issue with
+    lag <= n_blocks - 1 — so dependents never race an in-flight export.
+    """
     S, C = states, categories
     rows = S * C
     BS = block_sites
+    nb = n_blocks
+    lag = 2 if nb >= 3 else 1
     s = pl.program_id(0)
-    site0 = pl.program_id(1) * BS
+    i = pl.program_id(1)
+    step = s * nb + i
+    ph = jax.lax.rem(i, 2)
+    pho = jax.lax.rem(step, 2)
+    site0 = i * BS
     idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
     valid = idx < n_ref[0]
     is_mxu = variant.startswith("mxu")
+    dot = make_mxu_dots(variant)[0] if is_mxu else None
     n_tips, n_bnd = cnt_ref[s, 0], cnt_ref[s, 1]
     n_ops = cnt_ref[s, 2]
-    sc_row = n_boundaries + 1           # trailing scaler-accumulator row
 
-    # Boundary CLVs DMA directly from the HBM buffer — EXACTLY the rows
-    # this segment consumes; the running per-site scaler count rides the
-    # buffer's trailing row (counts stored exactly as f32).  All chain
-    # rows are read from the ALIASED OUTPUT ref: every row a segment
-    # consumes was written earlier in this same call (plan invariant),
-    # so reads and writes stay within one buffer — correct on hardware
-    # (the alias is the same HBM) AND in interpret mode (which need not
-    # model the aliasing as shared memory).  The only reads of initial
-    # state are the s==0 scaler row, replaced by zeros below.
-    del bbuf_hbm  # aliasing operand only; never read
+    # All chain rows are read from the ALIASED OUTPUT refs: every row a
+    # segment consumes was written earlier in this same call (plan
+    # invariant), so reads and writes stay within one buffer — correct
+    # on hardware (the alias is the same HBM) AND in interpret mode
+    # (which need not model the aliasing as shared memory).
+    del bbuf_hbm, scbuf_hbm  # aliasing operands only; never read
 
-    def bnd_cp(b):
-        return pltpu.make_async_copy(
-            bbuf_out.at[bnd_idx_ref[s, b], :, pl.ds(site0, BS)],
-            arena_ref.at[seg_tips + b], sem_ref)
+    def in_copies(blk, phase):
+        """Boundary rows + scaler chain for site block ``blk`` into the
+        ``phase`` half of the doubled region.  With bf16 storage the
+        rows land in the half-width ``bnd16`` scratch and widen into
+        the fp32 arena after the wait (DMA cannot convert).  The scaler
+        chain rides its own 8-sublane fp32 buffer (counts must stay
+        exact past 256; Mosaic rejects sub-8-sublane HBM slices)."""
+        s0 = blk * BS
 
-    # full-row DMA for the scaler chain: Mosaic rejects sub-8-sublane
-    # HBM slices ("Slice shape along dimension 1 must be aligned to
-    # tiling (8)"); sublane 0 carries the counts, the rest ride along
-    sc_in = pltpu.make_async_copy(
-        bbuf_out.at[sc_row, :, pl.ds(site0, BS)], scacc_ref, sem_ref)
+        def bnd_cp(b):
+            dst = (bnd16_ref.at[phase, b] if io_bf16
+                   else arena_ref.at[seg_tips + phase * seg_bnd + b])
+            return pltpu.make_async_copy(
+                bbuf_out.at[bnd_idx_ref[s, b], :, pl.ds(s0, BS)],
+                dst, sem_in)
 
-    jax.lax.fori_loop(0, n_bnd, lambda b, c: (bnd_cp(b).start(), c)[1], 0)
-    sc_in.start()
-    jax.lax.fori_loop(0, n_bnd, lambda b, c: (bnd_cp(b).wait(), c)[1], 0)
-    sc_in.wait()
+        sc_cp = pltpu.make_async_copy(
+            scbuf_out.at[:, pl.ds(s0, BS)], scacc_ref.at[phase],
+            sem_in)
+        return bnd_cp, sc_cp
+
+    def issue_in(blk, phase):
+        bnd_cp, sc_cp = in_copies(blk, phase)
+        jax.lax.fori_loop(0, n_bnd,
+                          lambda b, c: (bnd_cp(b).start(), c)[1], 0)
+        sc_cp.start()
+
+    def wait_in(blk, phase):
+        bnd_cp, sc_cp = in_copies(blk, phase)
+        jax.lax.fori_loop(0, n_bnd,
+                          lambda b, c: (bnd_cp(b).wait(), c)[1], 0)
+        sc_cp.wait()
+        if io_bf16:
+            def widen(b, c):
+                arena_ref[seg_tips + phase * seg_bnd + b] = (
+                    bnd16_ref[phase, b].astype(jnp.float32))
+                return c
+            jax.lax.fori_loop(0, n_bnd, widen, 0)
+
+    def out_copies(seg, blk, phase):
+        s0 = blk * BS
+        root_cp = pltpu.make_async_copy(
+            stage_ref.at[phase],
+            bbuf_out.at[gout_ref[seg], :, pl.ds(s0, BS)],
+            sem_out.at[phase])
+        sc_cp = pltpu.make_async_copy(
+            scst_ref.at[phase],
+            scbuf_out.at[:, pl.ds(s0, BS)], sem_out.at[phase])
+        return root_cp, sc_cp
+
+    def wait_out_of_step(k):
+        sp = k // nb
+        ip = k - sp * nb
+        r, c = out_copies(sp, ip, jax.lax.rem(k, 2))
+        r.wait()
+        c.wait()
+
+    if pipeline:
+        # retire the export issued ``lag`` steps ago (before any input
+        # issue below may depend on its rows)
+        @pl.when(step >= lag)
+        def _():
+            wait_out_of_step(step - lag)
+
+        @pl.when(i == 0)
+        def _():
+            issue_in(i, ph)
+        wait_in(i, ph)
+        @pl.when(i + 1 < nb)
+        def _():
+            issue_in(i + 1, 1 - ph)
+    else:
+        issue_in(i, ph)
+        wait_in(i, ph)
 
     def expand(t, _):
-        arena_ref[t] = _expand_tip(codes_ref[0, t], ttab_ref)
+        arena_ref[t] = _expand_tip(codes_ref[0, t], ttab_ref, dot=dot)
         return 0
 
     jax.lax.fori_loop(0, n_tips, expand, 0)
 
-    def body(i, scaler):
-        lcv = lcs_ref[0, i]
-        rcv = rcs_ref[0, i]
-        x1 = arena_ref[lsrc_ref[s, i]]
-        x2 = arena_ref[rsrc_ref[s, i]]
+    def body(j, scaler):
+        lcv = lcs_ref[0, j]
+        rcv = rcs_ref[0, j]
+        x1 = arena_ref[_phys_slot(lsrc_ref[s, j], seg_tips, seg_bnd, ph)]
+        x2 = arena_ref[_phys_slot(rsrc_ref[s, j], seg_tips, seg_bnd, ph)]
         if is_mxu:
             x3, mask = _plf_node_mxu(x1, x2, lcv, rcv, ec_ref[...],
                                      valid, variant=variant)
@@ -374,7 +482,7 @@ def _seg_fwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
             x3, mask = _plf_node(x1, x2, lambda a: lcv[:, a:a + 1],
                                  lambda a: rcv[:, a:a + 1], ec_ref,
                                  valid, S, C)
-        arena_ref[seg_tips + seg_bnd + i] = x3
+        arena_ref[seg_tips + 2 * seg_bnd + j] = x3
         return scaler + mask
 
     scaler = jax.lax.fori_loop(0, n_ops, body,
@@ -382,48 +490,60 @@ def _seg_fwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
     # the first segment starts the count chain from zero (its sc-row
     # read is the uninitialised buffer)
     prev = jnp.where(s == 0, jnp.zeros((1, BS), jnp.float32),
-                     scacc_ref[0:1, :])
+                     scacc_ref[ph, 0:1, :])
     total = prev + scaler.astype(jnp.float32)
-    scacc_ref[...] = jnp.broadcast_to(total, scacc_ref.shape)
 
-    x_root = arena_ref[rslot_ref[s]]
-    lik = rr_ref[0:1, 0:1] * x_root[0:1, :]
-    for rrow in range(1, rows):
-        lik = lik + rr_ref[0:1, rrow:rrow + 1] * x_root[rrow:rrow + 1, :]
+    x_root = arena_ref[_phys_slot(rslot_ref[s], seg_tips, seg_bnd, ph)]
+    if is_mxu:
+        lik = dot(rr_ref[...], x_root)      # (1, rows) @ (rows, BS)
+    else:
+        lik = rr_ref[0:1, 0:1] * x_root[0:1, :]
+        for rrow in range(1, rows):
+            lik = lik + rr_ref[0:1, rrow:rrow + 1] * x_root[rrow:rrow + 1, :]
     # every segment writes its own root lik / running count; the final
     # segment's (last) visit of each site block is what lands in HBM
     lik_ref[...] = lik
     sc_ref[...] = total.astype(jnp.int32)
 
-    # export the root CLV + running scaler count back to the buffer
-    out_cp = pltpu.make_async_copy(
-        arena_ref.at[rslot_ref[s]],
-        bbuf_out.at[gout_ref[s], :, pl.ds(site0, BS)], sem_ref)
-    sc_out = pltpu.make_async_copy(
-        scacc_ref, bbuf_out.at[sc_row, :, pl.ds(site0, BS)], sem_ref)
-    out_cp.start()
-    sc_out.start()
-    out_cp.wait()
-    sc_out.wait()
+    # export the root CLV + running scaler count via the step-parity
+    # staging slots (the arena root slot is rewritten next step; the
+    # staged copy retires ``lag`` steps later, fully overlapped)
+    stage_ref[pho] = x_root.astype(stage_ref.dtype)
+    scst_ref[pho] = jnp.broadcast_to(total, scst_ref.shape[1:])
+    r, c = out_copies(s, i, pho)
+    r.start()
+    c.start()
+
+    if pipeline:
+        # drain at the end of the grid
+        @pl.when(step == n_seg * nb - 1)
+        def _():
+            for d in range(min(lag, n_seg * nb) - 1, -1, -1):
+                wait_out_of_step(step - d)
+    else:
+        r.wait()
+        c.wait()
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_boundaries", "seg_tips", "seg_bnd", "seg_ops",
                      "states", "categories", "block_sites", "interpret",
-                     "variant"))
-def _seg_fwd_call(seg_arrs, codes_st, bbuf, lcs_st, rcs_st, ec, ttab,
-                  rr, n, *, n_boundaries, seg_tips, seg_bnd, seg_ops,
-                  states, categories, block_sites, interpret,
-                  variant="vpu"):
+                     "variant", "pipeline"))
+def _seg_fwd_call(seg_arrs, codes_st, bbuf, scbuf, lcs_st, rcs_st, ec,
+                  ttab, rr, n, *, n_boundaries, seg_tips, seg_bnd,
+                  seg_ops, states, categories, block_sites, interpret,
+                  variant="vpu", pipeline=True):
     """ONE dispatch for the whole segmented forward.
 
     ``seg_arrs``: (counts (n_seg, 4), lsrc/rsrc (n_seg, seg_ops),
     rslot/gout (n_seg,), bnd_idx (n_seg, seg_bnd)) int32 scalar-prefetch
     arrays; ``codes_st`` (n_seg, seg_tips, 1, n_pad) per-segment tip
     codes; ``lcs_st``/``rcs_st`` (n_seg, seg_ops, rows, W) per-segment
-    operator stacks; ``bbuf`` (n_boundaries + 2, rows, n_pad) —
-    boundary rows + trash row + scaler-accumulator row — consumed and
+    operator stacks; ``bbuf`` (n_boundaries + 1, rows, n_pad) fp32 or
+    bf16 — boundary rows + trash row; ``scbuf`` (8, n_pad) fp32 — the
+    cross-segment scaler-count chain (sublane 0 carries the counts; 8
+    sublanes keep the DMA tiling-aligned).  Both are consumed and
     returned (aliased in place).
     """
     S, C = states, categories
@@ -434,15 +554,20 @@ def _seg_fwd_call(seg_arrs, codes_st, bbuf, lcs_st, rcs_st, ec, ttab,
     n_arr = jnp.asarray(n, dtype=jnp.int32).reshape((1,))
     ncode = ttab.shape[-1]
     W = rows if variant.startswith("mxu") else S
+    io_bf16 = bbuf.dtype == jnp.bfloat16
+    io_dtype = bbuf.dtype
 
     kernel = functools.partial(
-        _seg_fwd_kernel, n_boundaries=n_boundaries, seg_tips=seg_tips,
+        _seg_fwd_kernel, n_seg=n_seg, n_blocks=n_pad // block_sites,
+        n_boundaries=n_boundaries, seg_tips=seg_tips,
         seg_bnd=seg_bnd, seg_ops=seg_ops, states=S, categories=C,
-        block_sites=block_sites, variant=variant)
+        block_sites=block_sites, variant=variant, io_bf16=io_bf16,
+        pipeline=pipeline)
     c0 = lambda s, i, *_: (0, 0)
     seg_c = lambda s, i, *_: (s, 0, 0, 0)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    bbuf_new, lik, sc = pl.pallas_call(
+    bnd16_shape = (2, seg_bnd, rows, block_sites) if io_bf16 else (1, 1, 1, 1)
+    bbuf_new, scbuf_new, lik, sc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
@@ -452,6 +577,7 @@ def _seg_fwd_call(seg_arrs, codes_st, bbuf, lcs_st, rcs_st, ec, ttab,
                              lambda s, i, *_: (s, 0, 0, i),
                              memory_space=pltpu.VMEM),     # codes_st
                 any_spec,                                  # bbuf (HBM)
+                any_spec,                                  # scbuf (HBM)
                 pl.BlockSpec((1, seg_ops, rows, W), seg_c,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, seg_ops, rows, W), seg_c,
@@ -463,6 +589,7 @@ def _seg_fwd_call(seg_arrs, codes_st, bbuf, lcs_st, rcs_st, ec, ttab,
             ],
             out_specs=[
                 any_spec,                                  # bbuf (aliased)
+                any_spec,                                  # scbuf (aliased)
                 pl.BlockSpec((1, block_sites),
                              lambda s, i, *_: (0, i),
                              memory_space=pltpu.VMEM),
@@ -471,20 +598,25 @@ def _seg_fwd_call(seg_arrs, codes_st, bbuf, lcs_st, rcs_st, ec, ttab,
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((seg_tips + seg_bnd + seg_ops, rows,
-                            block_sites), jnp.float32),
-                pltpu.VMEM((rows, block_sites), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((seg_tips + 2 * seg_bnd + seg_ops, rows,
+                            block_sites), jnp.float32),    # arena
+                pltpu.VMEM(bnd16_shape, io_dtype),         # bnd16 landing
+                pltpu.VMEM((2, 8, block_sites), jnp.float32),   # scacc
+                pltpu.VMEM((2, rows, block_sites), io_dtype),   # stage
+                pltpu.VMEM((2, 8, block_sites), jnp.float32),   # scst
+                pltpu.SemaphoreType.DMA,                   # sem_in
+                pltpu.SemaphoreType.DMA((2,)),             # sem_out
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct(bbuf.shape, jnp.float32),
+            jax.ShapeDtypeStruct(bbuf.shape, bbuf.dtype),
+            jax.ShapeDtypeStruct(scbuf.shape, jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
             jax.ShapeDtypeStruct((1, n_pad), jnp.int32),
         ],
         # operand index counts the 7 scalar-prefetch args (n + the 6
-        # segment arrays) as 0..6, then codes_st=7, bbuf=8
-        input_output_aliases={8: 0},
+        # segment arrays) as 0..6, then codes_st=7, bbuf=8, scbuf=9
+        input_output_aliases={8: 0, 9: 1},
         cost_estimate=pl.CostEstimate(
             flops=23 * rows * n_pad * seg_ops * n_seg,
             bytes_accessed=(seg_tips * 4 + 2 * rows * 4 + 8) * n_pad
@@ -492,8 +624,9 @@ def _seg_fwd_call(seg_arrs, codes_st, bbuf, lcs_st, rcs_st, ec, ttab,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n_arr, *seg_arrs, codes_st, bbuf, lcs_st, rcs_st, ec, ttab, rr)
-    return bbuf_new, lik, sc
+    )(n_arr, *seg_arrs, codes_st, bbuf, scbuf, lcs_st, rcs_st, ec, ttab,
+      rr)
+    return bbuf_new, scbuf_new, lik, sc
 
 
 def _stacked_plan(plan: SegPlan):
@@ -569,39 +702,52 @@ def _gather_stacks(xs, codes3, lcs3, rcs3):
 
 
 def _run_forward(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
-                 states, categories, interpret, variant="vpu"):
+                 states, categories, interpret, variant="vpu",
+                 io_dtype=jnp.float32):
     """One fused dispatch; returns (lik, sc, bnd_buffer).
 
-    ``bnd_buffer``: (n_boundaries + 2, rows, n_pad) — every boundary
-    CLV, a trash row, and the scaler-count row (the VJP residual).
+    ``bnd_buffer``: (n_boundaries + 1, rows, n_pad) in ``io_dtype`` —
+    every boundary CLV + a trash row (the VJP residual).  With
+    ``io_dtype=bfloat16`` the boundary HBM streams (the engine's
+    dominant per-site traffic) halve; forward recompute in the backward
+    reads the SAME rounded rows, so residuals stay self-consistent.
     """
     xs = _stacked_plan_dev(plan)
     rows = states * categories
     n_pad = codes3.shape[-1]
     codes_st, lcs_st, rcs_st = _gather_stacks(xs, codes3, lcs3, rcs3)
-    bbuf0 = jnp.zeros((plan.n_boundaries + 2, rows, n_pad), jnp.float32)
-    bbuf, lik, sc = _seg_fwd_call(
-        _seg_args(xs), codes_st, bbuf0, lcs_st, rcs_st, ec, ttab, rr, n,
+    bbuf0 = jnp.zeros((plan.n_boundaries + 1, rows, n_pad), io_dtype)
+    scbuf0 = jnp.zeros((8, n_pad), jnp.float32)
+    bbuf, _, lik, sc = _seg_fwd_call(
+        _seg_args(xs), codes_st, bbuf0, scbuf0, lcs_st, rcs_st, ec,
+        ttab, rr, n,
         n_boundaries=plan.n_boundaries, seg_tips=plan.seg_tips,
         seg_bnd=plan.seg_bnd, seg_ops=plan.seg_ops, states=states,
         categories=categories, block_sites=plan.block_sites,
-        interpret=interpret, variant=variant)
+        interpret=interpret, variant=variant,
+        pipeline=_pipeline_default())
     return lik, sc, bbuf
 
 
 def plf_tree_segmented(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n,
                        *, states: int = 4, categories: int = 4,
-                       interpret: bool = False, variant: str = "vpu"):
+                       interpret: bool = False, variant: str = "vpu",
+                       dtype: str = "float32"):
     """Segmented whole-tree likelihood forward.
 
     Same contract as plf_tree_pallas_dynamic's leading-dim form:
     codes3 (n_leaves, 1, n_pad) int32; lcs3/rcs3 (E, rows, W) operator
     stacks indexed by REORDERED schedule position (the positions
     ``plan`` was built from); returns ((1, n_pad) lik, (1, n_pad) sc).
+    ``dtype="bfloat16"`` selects bf16 boundary-CLV storage (fp32 math
+    in VMEM; the single-node kernel's fast CLV-storage mode applied to
+    the engine's cross-segment streams).
     """
+    io_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     lik, sc, _ = _run_forward(plan, codes3, lcs3, rcs3, ec, ttab, rr, n,
                               states=states, categories=categories,
-                              interpret=interpret, variant=variant)
+                              interpret=interpret, variant=variant,
+                              io_dtype=io_dtype)
     return lik, sc
 
 
@@ -621,14 +767,31 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
                     lcsT_ref, rcsT_ref, ec_ref, ecT_ref, ttab_ref,
                     rrT_ref, glik_ref,
                     gbuf_out, gl_ref, gr_ref, gec_ref, grrT_ref,
-                    arena_ref, fac_ref, gbout_ref, sem_ref,
-                    *, n_seg, n_boundaries, seg_tips, seg_bnd, seg_ops,
-                    states, categories, block_sites, variant="vpu"):
+                    arena_ref, bnd16_ref, gexp_ref, fac_ref, gbout_ref,
+                    sem_in, sem_out,
+                    *, n_seg, n_blocks, n_boundaries, seg_tips, seg_bnd,
+                    seg_ops, states, categories, block_sites,
+                    variant="vpu", io_bf16=False, pipeline=True):
+    """Fused segmented backward with double-buffered input DMA.
+
+    Same prefetch discipline as the forward (see _seg_fwd_kernel): the
+    boundary-CLV + root-adjoint inputs for block i+1 stream in during
+    block i's reverse sweep.  The adjoint EXPORTS source the phase-ph
+    boundary arena slots, which the next step's prefetch rewrites — so
+    exports are waited at the start of the following step (lag 1, no
+    staging; the export count per step is the segment's boundary count,
+    typically 1-3, and the wait overlaps the other input waits).
+    """
     S, C = states, categories
     rows = S * C
     BS = block_sites
-    sf = n_seg - 1 - pl.program_id(0)       # forward segment index
-    site0 = pl.program_id(1) * BS
+    nb = n_blocks
+    sr = pl.program_id(0)
+    sf = n_seg - 1 - sr                     # forward segment index
+    i = pl.program_id(1)
+    step = sr * nb + i
+    ph = jax.lax.rem(i, 2)
+    site0 = i * BS
     idx = site0 + jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)
     valid = idx < n_ref[0]
     is_mxu = variant.startswith("mxu")
@@ -637,7 +800,7 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
     n_tips, n_bnd = cnt_ref[sf, 0], cnt_ref[sf, 1]
     n_ops = cnt_ref[sf, 2]
 
-    @pl.when(pl.program_id(1) == 0)
+    @pl.when(i == 0)
     def _():
         # full zero-init per segment: rows beyond the real op count stay
         # exactly zero, so the caller's scatter-add of padded rows at
@@ -645,43 +808,106 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
         gl_ref[...] = jnp.zeros_like(gl_ref)
         gr_ref[...] = jnp.zeros_like(gr_ref)
 
-    @pl.when(jnp.logical_and(pl.program_id(0) == 0,
-                             pl.program_id(1) == 0))
+    @pl.when(jnp.logical_and(sr == 0, i == 0))
     def _():
         gec_ref[...] = jnp.zeros_like(gec_ref)
         grrT_ref[...] = jnp.zeros_like(grrT_ref)
-
-    def bnd_cp(b):
-        return pltpu.make_async_copy(
-            bbuf_hbm.at[bnd_idx_ref[sf, b], :, pl.ds(site0, BS)],
-            arena_ref.at[seg_tips + b], sem_ref)
 
     # the adjoint of this segment's boundary output, written earlier in
     # the reverse order by its consumer — read from the ALIASED OUTPUT
     # ref (in-call chain, as in the forward); the first reverse segment
     # (the forward root) has no consumer and takes zeros below
     del gbuf_hbm  # aliasing operand only; never read
-    gbout_cp = pltpu.make_async_copy(
-        gbuf_out.at[gout_ref[sf], :, pl.ds(site0, BS)], gbout_ref,
-        sem_ref)
 
-    jax.lax.fori_loop(0, n_bnd, lambda b, c: (bnd_cp(b).start(), c)[1], 0)
-    gbout_cp.start()
-    jax.lax.fori_loop(0, n_bnd, lambda b, c: (bnd_cp(b).wait(), c)[1], 0)
-    gbout_cp.wait()
+    def in_copies(blk, phase):
+        s0 = blk * BS
+
+        def bnd_cp(b):
+            dst = (bnd16_ref.at[phase, b] if io_bf16
+                   else arena_ref.at[seg_tips + phase * seg_bnd + b])
+            return pltpu.make_async_copy(
+                bbuf_hbm.at[bnd_idx_ref[sf, b], :, pl.ds(s0, BS)],
+                dst, sem_in)
+
+        gbout_cp = pltpu.make_async_copy(
+            gbuf_out.at[gout_ref[sf], :, pl.ds(s0, BS)],
+            gbout_ref.at[phase], sem_in)
+        return bnd_cp, gbout_cp
+
+    def issue_in(blk, phase):
+        bnd_cp, gb_cp = in_copies(blk, phase)
+        jax.lax.fori_loop(0, n_bnd,
+                          lambda b, c: (bnd_cp(b).start(), c)[1], 0)
+        gb_cp.start()
+
+    def wait_in(blk, phase):
+        bnd_cp, gb_cp = in_copies(blk, phase)
+        jax.lax.fori_loop(0, n_bnd,
+                          lambda b, c: (bnd_cp(b).wait(), c)[1], 0)
+        gb_cp.wait()
+        if io_bf16:
+            def widen(b, c):
+                arena_ref[seg_tips + phase * seg_bnd + b] = (
+                    bnd16_ref[phase, b].astype(jnp.float32))
+                return c
+            jax.lax.fori_loop(0, n_bnd, widen, 0)
+
+    def gexp_copies(seg, blk, phase):
+        """Adjoint exports of forward segment ``seg`` at block ``blk``
+        from the ``phase`` half of the boundary arena region (staged
+        through the narrowing ``gexp`` scratch when storage is bf16)."""
+        s0 = blk * BS
+
+        def cp(b):
+            src = (gexp_ref.at[b] if io_bf16
+                   else arena_ref.at[seg_tips + phase * seg_bnd + b])
+            return pltpu.make_async_copy(
+                src,
+                gbuf_out.at[bnd_idx_ref[seg, b], :, pl.ds(s0, BS)],
+                sem_out)
+
+        return cp
+
+    if pipeline:
+        # retire the previous step's adjoint exports BEFORE the input
+        # prefetch below rewrites their source slots
+        @pl.when(step >= 1)
+        def _():
+            kp = step - 1
+            sp = n_seg - 1 - kp // nb
+            ip = kp - (kp // nb) * nb
+            cp = gexp_copies(sp, ip, jax.lax.rem(ip, 2))
+            nb_p = cnt_ref[sp, 1]
+            jax.lax.fori_loop(0, nb_p,
+                              lambda b, c: (cp(b).wait(), c)[1], 0)
+
+        @pl.when(i == 0)
+        def _():
+            issue_in(i, ph)
+        wait_in(i, ph)
+        @pl.when(i + 1 < nb)
+        def _():
+            issue_in(i + 1, 1 - ph)
+    else:
+        issue_in(i, ph)
+        wait_in(i, ph)
 
     def expand(t, _):
-        arena_ref[t] = _expand_tip(codes_ref[0, t], ttab_ref)
+        arena_ref[t] = _expand_tip(codes_ref[0, t], ttab_ref,
+                                   dot=dot if is_mxu else None)
         return 0
 
     jax.lax.fori_loop(0, n_tips, expand, 0)
 
+    def phys(v):
+        return _phys_slot(v, seg_tips, seg_bnd, ph)
+
     # ---- phase 1: forward recompute, every op CLV checkpointed ----------
-    def fwd_body(i, _):
-        lcv = lcs_ref[0, i]
-        rcv = rcs_ref[0, i]
-        x1 = arena_ref[lsrc_ref[sf, i]]
-        x2 = arena_ref[rsrc_ref[sf, i]]
+    def fwd_body(j, _):
+        lcv = lcs_ref[0, j]
+        rcv = rcs_ref[0, j]
+        x1 = arena_ref[phys(lsrc_ref[sf, j])]
+        x2 = arena_ref[phys(rsrc_ref[sf, j])]
         if is_mxu:
             x3, mask = _plf_node_mxu(x1, x2, lcv, rcv, ec_ref[...],
                                      valid, variant=variant)
@@ -689,8 +915,8 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
             x3, mask = _plf_node(x1, x2, lambda a: lcv[:, a:a + 1],
                                  lambda a: rcv[:, a:a + 1], ec_ref,
                                  valid, S, C)
-        arena_ref[seg_tips + seg_bnd + i] = x3
-        fac_ref[i] = jnp.where(mask > 0, jnp.float32(TWO_TO_THE_32),
+        arena_ref[seg_tips + 2 * seg_bnd + j] = x3
+        fac_ref[j] = jnp.where(mask > 0, jnp.float32(TWO_TO_THE_32),
                                jnp.float32(1.0))
         return 0
 
@@ -700,74 +926,86 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
     # the FINAL forward segment — the first in reverse order) PLUS the
     # boundary-output adjoint (the zero trash row for that same final
     # segment) — one unconditional sum covers both cases ------------------
-    first_rev = pl.program_id(0) == 0
+    first_rev = sr == 0
     lastf = first_rev.astype(jnp.float32)
     g = glik_ref[...] * valid.astype(jnp.float32) * lastf
-    x_root = arena_ref[rslot_ref[sf]]
+    x_root = arena_ref[phys(rslot_ref[sf])]
+    # (VPU reduction: a dot_t against the (1, BS) cotangent trips a
+    # Mosaic vector.broadcast verification bug on 1-row operands)
     grrT_ref[...] += jnp.sum(x_root * g, axis=1, keepdims=True)
     gbout = jnp.where(first_rev, jnp.zeros((rows, BS), jnp.float32),
-                      gbout_ref[...])
-    arena_ref[rslot_ref[sf]] = rrT_ref[...] * g + gbout
+                      gbout_ref[ph].astype(jnp.float32))
+    arena_ref[phys(rslot_ref[sf])] = rrT_ref[...] * g + gbout
 
     # ---- phase 2: reverse sweep (slots flip CLV -> adjoint) -------------
     # (adjoint identities as in plf_tree_grad._tree_bwd_kernel; the MXU
     # branch runs them as block matmuls at the variant's pass count)
-    def bwd_body(j, _):
-        i = n_ops - 1 - j
-        g_x3 = arena_ref[seg_tips + seg_bnd + i]
-        g_y = g_x3 * fac_ref[i]
-        lcv = lcs_ref[0, i]
-        rcv = rcs_ref[0, i]
-        x1 = arena_ref[lsrc_ref[sf, i]]
-        x2 = arena_ref[rsrc_ref[sf, i]]
+    def bwd_body(jj, _):
+        j = n_ops - 1 - jj
+        g_x3 = arena_ref[seg_tips + 2 * seg_bnd + j]
+        g_y = g_x3 * fac_ref[j]
+        lcv = lcs_ref[0, j]
+        rcv = rcs_ref[0, j]
+        x1 = arena_ref[phys(lsrc_ref[sf, j])]
+        x2 = arena_ref[phys(rsrc_ref[sf, j])]
         if is_mxu:
             u1 = dot(lcv, x1)
             u2 = dot(rcv, x2)
             g_p = dot(ecT_ref[...], g_y)
             g_u1 = g_p * u2
             g_u2 = g_p * u1
-            gl_ref[0, i] += dot_t(g_u1, x1)
-            gr_ref[0, i] += dot_t(g_u2, x2)
+            gl_ref[0, j] += dot_t(g_u1, x1)
+            gr_ref[0, j] += dot_t(g_u2, x2)
             gec_ref[...] += dot_t(g_y, u1 * u2)
-            gx1 = dot(lcsT_ref[0, i], g_u1)
-            gx2 = dot(rcsT_ref[0, i], g_u2)
+            gx1 = dot(lcsT_ref[0, j], g_u1)
+            gx2 = dot(rcsT_ref[0, j], g_u2)
         else:
             u1 = _stage(x1, lcv, S, C)
             u2 = _stage(x2, rcv, S, C)
             g_p = _stage(g_y, ecT_ref, S, C)
             g_u1 = g_p * u2
             g_u2 = g_p * u1
-            gl_ref[0, i] += _op_grad(x1, g_u1, S, C)
-            gr_ref[0, i] += _op_grad(x2, g_u2, S, C)
+            gl_ref[0, j] += _op_grad(x1, g_u1, S, C)
+            gr_ref[0, j] += _op_grad(x2, g_u2, S, C)
             gec_ref[...] += _op_grad(u1 * u2, g_y, S, C)
-            gx1 = _stage(g_u1, lcsT_ref[0, i], S, C)
-            gx2 = _stage(g_u2, rcsT_ref[0, i], S, C)
-        arena_ref[lsrc_ref[sf, i]] = gx1
-        arena_ref[rsrc_ref[sf, i]] = gx2
+            gx1 = _stage(g_u1, lcsT_ref[0, j], S, C)
+            gx2 = _stage(g_u2, rcsT_ref[0, j], S, C)
+        arena_ref[phys(lsrc_ref[sf, j])] = gx1
+        arena_ref[phys(rsrc_ref[sf, j])] = gx2
         return 0
 
     jax.lax.fori_loop(0, n_ops, bwd_body, 0)
 
     # ---- export boundary-input adjoints straight into gbuf rows ---------
-    def gexp_cp(b):
-        return pltpu.make_async_copy(
-            arena_ref.at[seg_tips + b],
-            gbuf_out.at[bnd_idx_ref[sf, b], :, pl.ds(site0, BS)],
-            sem_ref)
+    if io_bf16:
+        def narrow(b, c):
+            gexp_ref[b] = arena_ref[
+                seg_tips + ph * seg_bnd + b].astype(gexp_ref.dtype)
+            return c
+        jax.lax.fori_loop(0, n_bnd, narrow, 0)
+    cp = gexp_copies(sf, i, ph)
+    jax.lax.fori_loop(0, n_bnd, lambda b, c: (cp(b).start(), c)[1], 0)
 
-    jax.lax.fori_loop(0, n_bnd, lambda b, c: (gexp_cp(b).start(), c)[1], 0)
-    jax.lax.fori_loop(0, n_bnd, lambda b, c: (gexp_cp(b).wait(), c)[1], 0)
+    if pipeline:
+        # drain at the end of the grid
+        @pl.when(step == n_seg * nb - 1)
+        def _():
+            jax.lax.fori_loop(0, n_bnd,
+                              lambda b, c: (cp(b).wait(), c)[1], 0)
+    else:
+        jax.lax.fori_loop(0, n_bnd, lambda b, c: (cp(b).wait(), c)[1], 0)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("n_boundaries", "seg_tips", "seg_bnd", "seg_ops",
                      "states", "categories", "block_sites", "interpret",
-                     "variant"))
+                     "variant", "pipeline"))
 def _seg_bwd_call(seg_arrs, codes_st, bbuf, gbuf, lcs_st, rcs_st,
                   lcsT_st, rcsT_st, ec, ecT, ttab, rrT, glik, n, *,
                   n_boundaries, seg_tips, seg_bnd, seg_ops, states,
-                  categories, block_sites, interpret, variant="vpu"):
+                  categories, block_sites, interpret, variant="vpu",
+                  pipeline=True):
     """ONE dispatch for the whole segmented backward (reverse segment
     order).  Returns (gbuf, gl (n_seg, seg_ops, rows, W), gr, gec,
     grrT); ``gl``/``gr`` rows are indexed by FORWARD segment order."""
@@ -780,10 +1018,14 @@ def _seg_bwd_call(seg_arrs, codes_st, bbuf, gbuf, lcs_st, rcs_st,
     ncode = ttab.shape[-1]
     W = rows if variant.startswith("mxu") else S
 
+    io_bf16 = gbuf.dtype == jnp.bfloat16
+    io_dtype = gbuf.dtype
     kernel = functools.partial(
-        _seg_bwd_kernel, n_seg=n_seg, n_boundaries=n_boundaries,
+        _seg_bwd_kernel, n_seg=n_seg, n_blocks=n_pad // block_sites,
+        n_boundaries=n_boundaries,
         seg_tips=seg_tips, seg_bnd=seg_bnd, seg_ops=seg_ops, states=S,
-        categories=C, block_sites=block_sites, variant=variant)
+        categories=C, block_sites=block_sites, variant=variant,
+        io_bf16=io_bf16, pipeline=pipeline)
     c0 = lambda s, i, *_: (0, 0)
     # per-segment blocks are indexed by the FORWARD segment coordinate
     # (reverse of the grid's s) so gl/gr rows line up with fwd order
@@ -818,15 +1060,20 @@ def _seg_bwd_call(seg_arrs, codes_st, bbuf, gbuf, lcs_st, rcs_st,
                 pl.BlockSpec((rows, 1), c0, memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((seg_tips + seg_bnd + seg_ops, rows,
-                            block_sites), jnp.float32),
+                pltpu.VMEM((seg_tips + 2 * seg_bnd + seg_ops, rows,
+                            block_sites), jnp.float32),    # arena
+                pltpu.VMEM((2, seg_bnd, rows, block_sites) if io_bf16
+                           else (1, 1, 1, 1), io_dtype),   # bnd16
+                pltpu.VMEM((seg_bnd, rows, block_sites) if io_bf16
+                           else (1, 1, 1), io_dtype),      # gexp
                 pltpu.VMEM((seg_ops, 1, block_sites), jnp.float32),
-                pltpu.VMEM((rows, block_sites), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, rows, block_sites), io_dtype),  # gbout
+                pltpu.SemaphoreType.DMA,                   # sem_in
+                pltpu.SemaphoreType.DMA,                   # sem_out
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct(gbuf.shape, jnp.float32),
+            jax.ShapeDtypeStruct(gbuf.shape, gbuf.dtype),
             jax.ShapeDtypeStruct((n_seg, seg_ops, rows, W), jnp.float32),
             jax.ShapeDtypeStruct((n_seg, seg_ops, rows, W), jnp.float32),
             jax.ShapeDtypeStruct((rows, W), jnp.float32),
@@ -852,7 +1099,8 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
                              cap_ops: Optional[int] = None,
                              interpret: bool = False,
                              vmem_budget: int = ARENA_VMEM_BUDGET,
-                             variant: str = "vpu"):
+                             variant: str = "vpu",
+                             dtype: str = "float32"):
     """Differentiable segmented whole-tree likelihood.
 
     Same contract as ops/plf_tree_grad.make_tree_diff — returns
@@ -872,11 +1120,12 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
                          vmem_budget=vmem_budget,
                          op_width=rows if variant.startswith("mxu") else 0)
     E = len(schedule)
+    io_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
 
     def fwd_run(codes3, lcs3, rcs3, ec, ttab, rr, n):
         return _run_forward(plan, codes3, lcs3, rcs3, ec, ttab, rr, n,
                             states=S, categories=C, interpret=interpret,
-                            variant=variant)
+                            variant=variant, io_dtype=io_dtype)
 
     @jax.custom_vjp
     def f(codes3, lcs3, rcs3, ec, ttab, rr, n):
@@ -906,15 +1155,19 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
         rrT = jnp.transpose(rr)
         rows_ = S * C
         n_pad = codes3.shape[-1]
+        # bf16 adjoint chain when storage is bf16: halves the bwd's
+        # dominant HBM stream; the adjoint values carry the same error
+        # class as the rounded boundary CLVs they flow through
         gbuf0 = jnp.zeros((plan.n_boundaries + 1, rows_, n_pad),
-                          jnp.float32)
+                          io_dtype)
         _, gl, gr, gec_tot, grrT_tot = _seg_bwd_call(
             _seg_args(xs), codes_st, bbuf, gbuf0, lcs_st, rcs_st,
             lcsT_st, rcsT_st, ec, ecT, ttab, rrT, glik, n,
             n_boundaries=plan.n_boundaries, seg_tips=plan.seg_tips,
             seg_bnd=plan.seg_bnd, seg_ops=plan.seg_ops, states=S,
             categories=C, block_sites=plan.block_sites,
-            interpret=interpret, variant=variant)
+            interpret=interpret, variant=variant,
+            pipeline=_pipeline_default())
         # fold the per-segment operator gradients back to schedule
         # positions (padded rows are exactly zero — zero-init per
         # segment, loops stop at the real op count)
@@ -1006,8 +1259,8 @@ def stack_plans(plans: Sequence[SegPlan], rows: int,
     # dims; the max across plans can be slightly larger), counting the
     # forward kernel's two per-segment operator stacks like
     # plan_segments does (same scratch slot-equivalents accounting)
-    extra = 2 + -(-(seg_ops + seg_tips) // max(rows, 1))
-    bs = fit_block_sites(seg_tips + seg_bnd + seg_ops + extra, rows,
+    extra = 6 + -(-(seg_ops + seg_tips) // max(rows, 1))
+    bs = fit_block_sites(seg_tips + 2 * seg_bnd + seg_ops + extra, rows,
                          min(p.block_sites for p in plans),
                          vmem_budget - 2 * seg_ops * rows * op_width * 4)
     if bs is None:
@@ -1022,27 +1275,30 @@ def stack_plans(plans: Sequence[SegPlan], rows: int,
     jax.jit,
     static_argnames=("n_boundaries", "seg_tips", "seg_bnd", "seg_ops",
                      "states", "categories", "block_sites", "interpret",
-                     "variant", "n_parts"))
+                     "variant", "n_parts", "dtype"))
 def batched_seg_loglik_parts(xs_b, codes3, lcs3_b, rcs3_b, ec, ttab, rr,
                              wpad, n, *, n_boundaries, seg_tips, seg_bnd,
                              seg_ops, states, categories, block_sites,
-                             interpret, variant="vpu", n_parts=64):
+                             interpret, variant="vpu", n_parts=64,
+                             dtype="float32"):
     """(B, n_parts) fp32 partial sums of the weighted per-site
     log-likelihood for B same-shape candidates (rescale counts folded
     in); host-sum in float64 for the final ll per candidate."""
     rows = states * categories
     n_pad = codes3.shape[-1]
     chunk = n_pad // n_parts
+    io_dtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
     log_minlik = jnp.float32(np.log(np.float64(2.0) ** -32))
 
     def one(args):
         xs, lcs3, rcs3 = args
         codes_st, lcs_st, rcs_st = _gather_stacks(xs, codes3, lcs3,
                                                   rcs3)
-        bbuf0 = jnp.zeros((n_boundaries + 2, rows, n_pad), jnp.float32)
-        _, lik, sc = _seg_fwd_call(
-            _seg_args(xs), codes_st, bbuf0, lcs_st, rcs_st, ec, ttab,
-            rr, n, n_boundaries=n_boundaries, seg_tips=seg_tips,
+        bbuf0 = jnp.zeros((n_boundaries + 1, rows, n_pad), io_dtype)
+        scbuf0 = jnp.zeros((8, n_pad), jnp.float32)
+        _, _, lik, sc = _seg_fwd_call(
+            _seg_args(xs), codes_st, bbuf0, scbuf0, lcs_st, rcs_st, ec,
+            ttab, rr, n, n_boundaries=n_boundaries, seg_tips=seg_tips,
             seg_bnd=seg_bnd, seg_ops=seg_ops, states=states,
             categories=categories, block_sites=block_sites,
             interpret=interpret, variant=variant)

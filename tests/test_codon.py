@@ -88,3 +88,47 @@ def test_encode_codon_alignment_stops_and_gaps():
     assert cod[0, 1] == 61   # TGA stop -> ambiguous
     assert cod[0, 2] == 61   # gap base
     assert cod[0, 3] == 61   # TAG stop
+
+
+@pytest.mark.slow
+def test_fit_codon_recovers_omega():
+    """fit_codon recovers a simulated dN/dS (omega) and kappa within
+    loose CI bounds — the end-to-end codon workflow (simulate under
+    GY94, F3x4 from data, profile ML fit)."""
+    from plf_tpu.models.optimize import fit_codon
+    from plf_tpu.models.simulate import simulate_alignment
+    from plf_tpu.models.substitution import f3x4_from_codes
+
+    true_kappa, true_omega = 4.0, 0.2
+    tree = random_tree(8, seed=5, mean_branch=0.2)
+    m_true = codon_gy94(true_kappa, true_omega)
+    tips = simulate_alignment(tree, m_true, 800, seed=3)
+
+    cfg = PLFConfig(states=61, block_sites=128, kernel_variant="mxu")
+    model, info = fit_codon(tree, tips, config=cfg, rounds=2, iters=8,
+                            length_steps=30)
+    # uniform-pi data: F3x4 estimate should be near-uniform
+    pi = f3x4_from_codes(tips)
+    assert pi.shape == (61,) and abs(pi.sum() - 1) < 1e-9
+    assert 0.08 < info["omega"] < 0.45, info
+    assert 2.0 < info["kappa"] < 8.0, info
+    # fitted model beats an omega=1 null at the same lengths
+    from plf_tpu.models.phylo import PhyloModel as PM
+    ll_fit = info["ll"]
+    pm_null = PM(info["tree"], codon_gy94(info["kappa"], 1.0,
+                                          info["pi"]),
+                 tips, config=cfg)
+    assert ll_fit > pm_null.log_likelihood().log_likelihood
+
+
+def test_f3x4_from_codes_recovers_biased_frequencies():
+    """Positional nucleotide bias in the data shows up in the F3x4
+    estimate (and gaps are ignored)."""
+    from plf_tpu.models.substitution import (SENSE_CODONS,
+                                             f3x4_from_codes)
+    # alignment of pure "AAA" plus gap codes
+    idx = SENSE_CODONS.index("AAA")
+    codes = np.full((3, 50), idx, np.int32)
+    codes[:, -5:] = 61   # gaps
+    pi = f3x4_from_codes(codes)
+    assert pi[idx] > 0.99

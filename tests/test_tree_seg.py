@@ -393,3 +393,58 @@ def test_batched_segmented_nonuniform_plan_dims():
     for b, pm in enumerate(pms):
         ref = pm.log_likelihood(method="segmented").log_likelihood
         assert batched[b] == pytest.approx(ref, rel=1e-6), (b, ref)
+
+
+def test_segmented_bf16_storage_close_and_distinct():
+    """dtype='bfloat16' boundary storage: the segmented ll stays within
+    the bf16 error class of fp32 but is NOT bit-identical (proving the
+    rounding actually happens on the cross-segment streams)."""
+    from plf_tpu.config import PLFConfig
+    from plf_tpu.models import PhyloModel, hky85, random_tree
+
+    tree = random_tree(40, seed=2)
+    tips = np.random.default_rng(3).integers(0, 4, size=(40, 1024))
+    # cap_ops small enough to force several segments/boundaries
+    cfg32 = PLFConfig(block_sites=128)
+    cfg16 = PLFConfig(block_sites=128, dtype="bfloat16")
+    pm32 = PhyloModel(tree, hky85(2.0), tips, alpha=0.6, config=cfg32)
+    pm16 = PhyloModel(tree, hky85(2.0), tips, alpha=0.6, config=cfg16)
+    r32 = pm32.log_likelihood(method="segmented")
+    r16 = pm16.log_likelihood(method="segmented")
+    rel = abs(r16.log_likelihood - r32.log_likelihood) / abs(
+        r32.log_likelihood)
+    assert rel < 5e-3, rel
+    assert r16.log_likelihood != r32.log_likelihood  # rounding is real
+
+
+def test_segmented_bf16_grad_close_and_warns():
+    """The segmented VJP under bf16 storage warns (optimisation through
+    rounded streams) and its gradients stay within the bf16 class of
+    the fp32 gradients."""
+    import warnings
+
+    import jax
+    import jax.numpy as jnp
+
+    from plf_tpu.config import PLFConfig
+    from plf_tpu.models import PhyloModel, hky85, random_tree
+    from plf_tpu.models.optimize import tree_loglik_fn
+
+    tree = random_tree(24, seed=5)
+    tips = np.random.default_rng(5).integers(0, 4, size=(24, 512))
+    pm32 = PhyloModel(tree, hky85(2.0), tips, alpha=0.6,
+                      config=PLFConfig(block_sites=128))
+    pm16 = PhyloModel(tree, hky85(2.0), tips, alpha=0.6,
+                      config=PLFConfig(block_sites=128,
+                                       dtype="bfloat16"))
+    fn32, t0 = tree_loglik_fn(pm32, backend="segmented")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        fn16, _ = tree_loglik_fn(pm16, backend="segmented")
+    assert any("bf16" in str(x.message) for x in w)
+    t0j = jnp.asarray(t0)
+    v32, g32 = jax.value_and_grad(fn32)(t0j)
+    v16, g16 = jax.value_and_grad(fn16)(t0j)
+    assert abs(float(v16) - float(v32)) / abs(float(v32)) < 5e-3
+    rel = float(jnp.max(jnp.abs(g16 - g32) / (jnp.abs(g32) + 1e-2)))
+    assert rel < 0.05, rel
