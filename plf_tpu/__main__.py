@@ -60,13 +60,16 @@ def infer_main(argv):
                          "--model lg/wag)")
     ap.add_argument("--model", default="jc",
                     choices=["auto", "jc", "hky", "gtr", "lg", "wag",
-                             "jtt", "dayhoff", "mtrev", "cprev"],
+                             "jtt", "dayhoff", "mtrev", "cprev",
+                             "gy94"],
                     help="'auto' runs AICc model selection first "
                          "(models/selection): the JC/HKY/GTR +G/+I "
                          "ladder for DNA, the LG/WAG/JTT/Dayhoff "
-                         "empirical ladder for protein data")
+                         "x{+G,+I,+I+G}x{+F} ladder for protein, "
+                         "GY94/GY94+G for codon data; 'gy94' fits "
+                         "omega/kappa by ML (fit_codon) directly")
     ap.add_argument("--seq-type", default="auto",
-                    choices=["auto", "dna", "protein"],
+                    choices=["auto", "dna", "protein", "codon"],
                     help="alignment alphabet; 'auto' treats the data as "
                          "protein when >10%% of residues fall outside "
                          "the DNA alphabet incl. IUPAC ambiguity codes")
@@ -89,12 +92,19 @@ def infer_main(argv):
     with open(args.alignment) as f:
         text = f.read()
     from .models.substitution import BUILTIN_PROTEIN_MODELS
-    if args.seq_type == "auto":
+    codon = args.seq_type == "codon" or args.model == "gy94"
+    if args.seq_type == "auto" and not codon:
         protein = (args.model in BUILTIN_PROTEIN_MODELS
                    or _detect_protein(text))
     else:
         protein = args.seq_type == "protein"
     aln = _parse_alignment(text, protein=protein)
+    if codon:
+        # codon data arrives as in-frame DNA; encode to 61 states
+        from .io.alignment import Alignment
+        from .models.substitution import encode_codon_alignment
+        aln = Alignment(aln.names, encode_codon_alignment(aln.codes))
+        return _infer_codon(args, aln)
     if args.model in BUILTIN_PROTEIN_MODELS:
         model = empirical_protein(args.model)
     elif args.model == "auto":
@@ -130,6 +140,44 @@ def infer_main(argv):
                         bootstrap=args.bootstrap, progress=log)
     log(f"final ll = {res.log_likelihood:.6f}  "
         f"(alpha={res.alpha}, p_inv={res.p_inv}, {res.elapsed_s:.1f}s)")
+    log(res.newick)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(res.newick + "\n")
+        log(f"wrote {args.out}")
+    return 0
+
+
+def _infer_codon(args, aln) -> int:
+    """Codon-model inference: GY94 omega/kappa ML fit (or GY94 vs
+    GY94+G selection with --model auto), then the standard pipeline
+    under the fitted model."""
+    from .config import PLFConfig
+    from .models import model_select, nj_tree, run_inference
+    from .models.optimize import fit_codon
+
+    comp = aln.compressed()
+    cfg = PLFConfig(states=61, kernel_variant="auto", block_sites=1024)
+    start = nj_tree(comp.codes, comp.weights, states=61)
+    if args.model == "auto":
+        sel = model_select(start, comp.codes, wgt=comp.weights,
+                           config=cfg)
+        log("codon model selection (AICc):\n" + sel.table())
+        log(f"selected: {sel.best.name}")
+        model = sel.best.model
+        alpha = sel.best.alpha
+    else:
+        model, info = fit_codon(start, comp.codes, wgt=comp.weights,
+                                config=cfg, fit_alpha=args.alpha
+                                is not None, verbose=True)
+        log(f"GY94 fit: kappa={info['kappa']:.3f} "
+            f"omega={info['omega']:.4f} ll={info['ll']:.4f}")
+        alpha = info["alpha"]
+    res = run_inference(aln.codes, names=aln.names, model=model,
+                        alpha=alpha, search=args.search,
+                        fit="lengths", bootstrap=args.bootstrap,
+                        progress=log)
+    log(f"final ll = {res.log_likelihood:.6f}  ({res.elapsed_s:.1f}s)")
     log(res.newick)
     if args.out:
         with open(args.out, "w") as f:

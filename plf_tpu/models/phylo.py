@@ -111,7 +111,10 @@ class PhyloModel:
         """
         self.tree = tree
         self.model = model
-        cfg = config or PLFConfig(states=model.states)
+        # default config resolves the kernel variant by state count
+        # (S=61 through the VPU unroll is unusable; auto -> mxu_3x)
+        cfg = config or PLFConfig(states=model.states,
+                                  kernel_variant="auto")
         if cfg.states != model.states:
             cfg = dataclasses.replace(cfg, states=model.states)
         self.config = cfg

@@ -32,18 +32,27 @@ from .tree import Tree, TreeNode
 
 __all__ = ["ModelFit", "SelectionResult", "model_select",
            "empirical_frequencies", "DNA_CANDIDATES",
-           "PROTEIN_CANDIDATES"]
+           "PROTEIN_CANDIDATES", "CODON_CANDIDATES"]
 
 DNA_CANDIDATES = ("JC", "JC+G", "HKY", "HKY+G", "HKY+I", "HKY+I+G",
                   "GTR", "GTR+G", "GTR+I", "GTR+I+G")
-PROTEIN_CANDIDATES = ("LG", "LG+G", "WAG", "WAG+G", "JTT", "JTT+G",
-                      "DAYHOFF", "DAYHOFF+G")
+#: ModelTest-style protein ladder: (matrix) x {, +G, +I, +I+G} x {, +F}
+#: (+F = empirical frequencies from the data, adding 19 free params)
+PROTEIN_CANDIDATES = tuple(
+    f"{m}{s}{f}"
+    for m in ("LG", "WAG", "JTT", "DAYHOFF")
+    for s in ("", "+G", "+I", "+I+G")
+    for f in ("", "+F"))
+#: Codon ladder: GY94 with free omega/kappa + F3x4 frequencies
+CODON_CANDIDATES = ("GY94", "GY94+G")
 
 #: model free-parameter counts (frequencies counted as free for
 #: HKY/GTR per ModelTest convention, even when set empirically;
-#: empirical protein matrices contribute none)
+#: empirical protein matrices contribute none unless +F adds the 19
+#: observed frequencies; GY94 = kappa + omega + 9 F3x4 frequencies)
 _K_MODEL = {"JC": 0, "HKY": 4, "GTR": 8,
-            "LG": 0, "WAG": 0, "JTT": 0, "DAYHOFF": 0}
+            "LG": 0, "WAG": 0, "JTT": 0, "DAYHOFF": 0,
+            "GY94": 11}
 
 
 @dataclasses.dataclass
@@ -174,6 +183,7 @@ def model_select(tree: Tree, tip_states: np.ndarray,
     cfg = config or PLFConfig()
     if candidates is None:
         candidates = (PROTEIN_CANDIDATES if cfg.states == 20
+                      else CODON_CANDIDATES if cfg.states == 61
                       else DNA_CANDIDATES)
     wgt_arr = (np.ones(codes.shape[1], np.int32) if wgt is None
                else np.asarray(wgt))
@@ -184,9 +194,14 @@ def model_select(tree: Tree, tip_states: np.ndarray,
 
     fits: List[ModelFit] = []
     for name in candidates:
-        base, _, suffix = name.partition("+")
-        fit_alpha = "G" in suffix
-        fit_pinv = "I" in suffix
+        parts = name.split("+")
+        base, flags = parts[0], set(parts[1:])
+        fit_alpha = "G" in flags
+        fit_pinv = "I" in flags
+        plus_f = "F" in flags
+        if plus_f and base not in BUILTIN_PROTEIN_LADDER:
+            raise ValueError(f"+F applies to empirical protein "
+                             f"matrices only, got {name!r}")
         alpha0 = 0.5 if fit_alpha else None
         p_inv = None
 
@@ -236,15 +251,27 @@ def model_select(tree: Tree, tip_states: np.ndarray,
         elif base in BUILTIN_PROTEIN_LADDER:
             from .substitution import empirical_protein
 
-            model = empirical_protein(base.lower())
+            model = empirical_protein(
+                base.lower(), pi=pi_emp if plus_f else None)
             t_tree, alpha, ll, t_opt, p_inv = _fit_lengths_alpha(
                 tree, model, codes, wgt_arr, alpha0, cfg, steps,
                 fit_alpha, fit_pinv)
+        elif base == "GY94":
+            from .optimize import fit_codon
+
+            model, info = fit_codon(
+                tree, codes, wgt=wgt_arr, config=cfg,
+                rounds=2, iters=max(6, steps // 12),
+                length_steps=steps, fit_alpha=fit_alpha)
+            t_tree = info["tree"]
+            t_opt = info["lengths"]
+            ll = info["ll"]
+            alpha = info["alpha"]
         else:
             raise ValueError(f"unknown candidate {name!r}")
 
         k = (k_branch + _K_MODEL[base] + (1 if fit_alpha else 0)
-             + (1 if fit_pinv else 0))
+             + (1 if fit_pinv else 0) + (19 if plus_f else 0))
         ll = float(ll)
         aic = 2 * k - 2 * ll
         denom = max(n_samp - k - 1, 1.0)

@@ -1,6 +1,7 @@
 """End-to-end inference pipeline: alignment -> annotated ML tree."""
 
 import numpy as np
+import pytest
 
 from plf_tpu.models import (jc69, hky85, random_tree, simulate_alignment,
                             parse_newick, run_inference, rf_distance)
@@ -49,3 +50,28 @@ def test_detect_protein_tolerates_stray_symbols():
     assert not _detect_protein(dna)
     prot = ">a\nMKVLITEDSQFE\n>b\nMKLLVSEDWQFE\n"
     assert _detect_protein(prot)
+
+
+@pytest.mark.slow
+def test_cli_infer_codon_smoke(tmp_path, capsys):
+    """--seq-type codon end-to-end: DNA triplets -> GY94 fit -> tree."""
+    from plf_tpu.__main__ import main
+    from plf_tpu.models import codon_gy94, random_tree, simulate_alignment
+    from plf_tpu.models.substitution import SENSE_CODONS
+
+    tree = random_tree(5, seed=3, mean_branch=0.3)
+    aln = simulate_alignment(tree, codon_gy94(3.0, 0.3), 60, seed=1)
+    # write as in-frame DNA fasta
+    lines = []
+    for i in range(5):
+        seq = "".join(SENSE_CODONS[c] for c in aln[i])
+        lines.append(f">t{i}\n{seq}")
+    fa = tmp_path / "codon.fa"
+    fa.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "out.nwk"
+    rc = main(["infer", str(fa), "--seq-type", "codon", "--model",
+               "gy94", "--search", "none", "--out", str(out)])
+    assert rc == 0
+    text = capsys.readouterr().out
+    assert "GY94 fit" in text and "omega=" in text
+    assert out.read_text().strip().endswith(";")

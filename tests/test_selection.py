@@ -123,3 +123,43 @@ def test_model_select_protein_ladder_runs():
     assert {f.name for f in res.fits} == {"LG", "WAG"}
     assert all(np.isfinite(f.log_likelihood) for f in res.fits)
     assert all(f.k_params == 2 * 5 - 3 for f in res.fits)
+
+
+@pytest.mark.slow
+def test_model_select_picks_plus_f_on_biased_frequencies():
+    """Data simulated under LG with strongly skewed frequencies (the
+    +F case) must rank an +F candidate ahead of the published-pi
+    variant."""
+    from plf_tpu.models.substitution import empirical_protein
+
+    rng = np.random.default_rng(11)
+    pi = rng.dirichlet(np.full(20, 0.15))       # strongly skewed
+    pi = 0.9 * pi + 0.1 / 20
+    m_true = empirical_protein("lg", pi=pi)
+    tree = random_tree(8, seed=4, mean_branch=0.3)
+    aln = simulate_alignment(tree, m_true, 1500, seed=9)
+    cfg = PLFConfig(states=20, block_sites=128)
+    res = model_select(tree, aln, candidates=("LG", "LG+F"),
+                       criterion="AICc", config=cfg, steps=30)
+    assert res.best.name == "LG+F"
+    fits = {f.name: f for f in res.fits}
+    # +F adds 19 free parameters
+    assert fits["LG+F"].k_params - fits["LG"].k_params == 19
+
+
+@pytest.mark.slow
+def test_model_select_codon_ladder():
+    """GY94 selection on codon data: +G wins on gamma-rate data and
+    the fitted omega is in the simulated regime."""
+    from plf_tpu.models import codon_gy94
+
+    tree = random_tree(6, seed=7, mean_branch=0.25)
+    m_true = codon_gy94(3.0, 0.15)
+    aln = simulate_alignment(tree, m_true, 500, alpha=0.5, seed=3)
+    cfg = PLFConfig(states=61, block_sites=128, kernel_variant="mxu")
+    res = model_select(tree, aln, candidates=("GY94", "GY94+G"),
+                       criterion="AICc", config=cfg, steps=30)
+    fits = {f.name: f for f in res.fits}
+    assert set(fits) == {"GY94", "GY94+G"}
+    assert fits["GY94+G"].k_params - fits["GY94"].k_params == 1
+    assert res.best.name == "GY94+G"
