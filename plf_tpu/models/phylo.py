@@ -211,8 +211,15 @@ class PhyloModel:
         for _, _, _, tl, tr in self.schedule:
             lcs.append(enc_cached(tl))
             rcs.append(enc_cached(tr))
-        self._lcs = jnp.asarray(np.stack(lcs))   # (E, rows, S|rows)
-        self._rcs = jnp.asarray(np.stack(rcs))
+        # Host-side stacks; the device upload is LAZY (the _lcs/_rcs
+        # properties).  Batch scoring paths stack many candidates'
+        # operators on host and upload ONCE — per-candidate device ops
+        # were ~60% of search-round prep (each op costs a tunnel
+        # round-trip at ~1.7 ms on the production link).
+        self._lcs_np = np.stack(lcs)             # (E, rows, S|rows)
+        self._rcs_np = np.stack(rcs)
+        self._lcs_dev = None
+        self._rcs_dev = None
         # Tip expansion table: column b (b < S) is the eigen-coordinate
         # CLV of observed state b (W.e_b = w[:, b]); column S the gap CLV
         # W.1 (all states equally likely); columns S+1.. the multi-hot
@@ -249,6 +256,7 @@ class PhyloModel:
             self._ec = donor._ec
             self._tip_table = donor._tip_table
             self._ttab_cache = donor._kernel_tip_table()
+            self._codes3_donor = donor
         else:
             # Tip codes, padded; padding sites get the gap code
             # (harmless).
@@ -261,9 +269,36 @@ class PhyloModel:
             wpad = L.pad_to_multiple(self.wgt.reshape(1, -1), self.n_pad,
                                      axis=-1)
             self._wgt_dev = jnp.asarray(wpad[0])  # (n_pad,) padding zeros
+            self._codes3_donor = None
         self._traverse = None
         self._fused_cache = None
         self._seg_cache = None
+        self._codes3_cache = None
+
+    @property
+    def _lcs(self):
+        """Device-resident (E, rows, W) left-operator stack (lazy)."""
+        if self._lcs_dev is None:
+            self._lcs_dev = jnp.asarray(self._lcs_np)
+        return self._lcs_dev
+
+    @property
+    def _rcs(self):
+        if self._rcs_dev is None:
+            self._rcs_dev = jnp.asarray(self._rcs_np)
+        return self._rcs_dev
+
+    def _ensure_codes3(self):
+        """(n_leaves, 1, n_pad) reshape of the shared device codes —
+        cached on the DONOR chain so a 500-candidate neighbourhood does
+        one reshape, not 500 device ops."""
+        root = self
+        while getattr(root, "_codes3_donor", None) is not None:
+            root = root._codes3_donor
+        if root._codes3_cache is None:
+            root._codes3_cache = root._codes.reshape(
+                root._codes.shape[0], 1, -1)
+        return root._codes3_cache
 
     # -- the single-dispatch traversal --------------------------------------
 
@@ -416,22 +451,27 @@ class PhyloModel:
                 np.repeat(wg, C, axis=0).astype(np.float32))
         return self._ttab_cache
 
-    def _fused_inputs(self):
-        if self._fused_cache is not None:
-            return self._fused_cache
-        cfg = self.config
-        S, C = cfg.states, cfg.categories
-        sched = reorder_schedule(self.schedule, self.tree.n_leaves)
-        # _lcs/_rcs are stacked (E, rows, W) in original edge order;
-        # pack lane-dense (rows, E*W) for the tree kernel — ONE
-        # transpose+reshape, not an E-way concatenation (each slice of
-        # which is a device dispatch: ~0.4 s/candidate at 256 taxa
-        # through the tunnel).
-        W = self._lcs.shape[-1]
-        lcs = jnp.transpose(self._lcs, (1, 0, 2)).reshape(cfg.rows, -1)
-        rcs = jnp.transpose(self._rcs, (1, 0, 2)).reshape(cfg.rows, -1)
-        self._fused_cache = (sched, lcs, rcs, self._kernel_tip_table())
-        return self._fused_cache
+    def _fused_inputs(self, device: bool = True):
+        """(sched, lcs, rcs, ttab) for the fused tree kernels; the
+        lane-dense (rows, E*W) packing happens on HOST (one numpy
+        transpose+reshape) and uploads lazily — batch scorers keep it
+        host-side (``device=False``) and upload whole neighbourhoods at
+        once."""
+        if self._fused_cache is None:
+            cfg = self.config
+            sched = reorder_schedule(self.schedule, self.tree.n_leaves)
+            lcs = np.ascontiguousarray(
+                np.transpose(self._lcs_np, (1, 0, 2))).reshape(
+                    cfg.rows, -1)
+            rcs = np.ascontiguousarray(
+                np.transpose(self._rcs_np, (1, 0, 2))).reshape(
+                    cfg.rows, -1)
+            self._fused_cache = [sched, lcs, rcs,
+                                 self._kernel_tip_table()]
+        if device and isinstance(self._fused_cache[1], np.ndarray):
+            self._fused_cache[1] = jnp.asarray(self._fused_cache[1])
+            self._fused_cache[2] = jnp.asarray(self._fused_cache[2])
+        return tuple(self._fused_cache)
 
     # Unrolled-kernel node budget: above this, the register-machine
     # (fori_loop) variant compiles in O(1) instead of O(nodes).
@@ -487,28 +527,37 @@ class PhyloModel:
         too)."""
         return self.config.backend is not Backend.XLA
 
-    def _segmented_inputs(self):
-        if self._seg_cache is not None:
-            return self._seg_cache
-        from ..ops.plf_tree_seg import plan_segments
+    def _segmented_inputs(self, device: bool = True):
+        """(plan, codes3, lcs3, rcs3, ttab) for the segmented engine.
 
-        cfg = self.config
-        variant = cfg.resolved_kernel_variant
-        n_leaves = self.tree.n_leaves
-        sched_r = reorder_schedule(self.schedule, n_leaves)
-        eidx = jnp.asarray([e for (*_x, e) in sched_r])
-        lcs3 = jnp.take(self._lcs, eidx, axis=0)     # (E, rows, S|rows)
-        rcs3 = jnp.take(self._rcs, eidx, axis=0)
-        pos_sched = tuple((p, l, r, 0.0, 0.0, i)
-                          for i, (p, l, r, *_x) in enumerate(sched_r))
-        plan = plan_segments(
-            pos_sched, n_leaves, rows=cfg.rows,
-            block_sites=cfg.block_sites,
-            op_width=cfg.rows if variant.startswith("mxu") else 0)
-        ttab = self._kernel_tip_table()
-        codes3 = self._codes.reshape(self._codes.shape[0], 1, -1)
-        self._seg_cache = (plan, codes3, lcs3, rcs3, ttab)
-        return self._seg_cache
+        With ``device=False`` the operator stacks stay host-side numpy
+        (the batch scorers stack whole neighbourhoods on host and
+        upload once); the default promotes them to device arrays and
+        caches the promotion.
+        """
+        if self._seg_cache is None:
+            from ..ops.plf_tree_seg import plan_segments
+
+            cfg = self.config
+            variant = cfg.resolved_kernel_variant
+            n_leaves = self.tree.n_leaves
+            sched_r = reorder_schedule(self.schedule, n_leaves)
+            eidx = np.asarray([e for (*_x, e) in sched_r])
+            lcs3 = self._lcs_np[eidx]            # (E, rows, S|rows)
+            rcs3 = self._rcs_np[eidx]
+            pos_sched = tuple((p, l, r, 0.0, 0.0, i)
+                              for i, (p, l, r, *_x) in enumerate(sched_r))
+            plan = plan_segments(
+                pos_sched, n_leaves, rows=cfg.rows,
+                block_sites=cfg.block_sites,
+                op_width=cfg.rows if variant.startswith("mxu") else 0)
+            ttab = self._kernel_tip_table()
+            self._seg_cache = [plan, self._ensure_codes3(), lcs3, rcs3,
+                               ttab]
+        if device and isinstance(self._seg_cache[2], np.ndarray):
+            self._seg_cache[2] = jnp.asarray(self._seg_cache[2])
+            self._seg_cache[3] = jnp.asarray(self._seg_cache[3])
+        return tuple(self._seg_cache)
 
     def log_likelihood_segmented(self) -> TreeLikelihoodResult:
         """Segmented whole-tree evaluation: O(#segments) dispatches for
@@ -743,12 +792,14 @@ def batch_log_likelihood(pms) -> np.ndarray:
         for k, a in enumerate(arrs):
             stacks[k].append(a)
         stacks[6].append(np.asarray([root_slot], np.int32))
-        _, lcs, rcs, _ = pm._fused_inputs()
+        _, lcs, rcs, _ = pm._fused_inputs(device=False)
         lcs_l.append(lcs)
         rcs_l.append(rcs)
     sched_stack = tuple(jnp.asarray(np.stack(stacks[k])) for k in range(7))
-    lcs_st = jnp.stack(lcs_l)
-    rcs_st = jnp.stack(rcs_l)
+    # host-stack the whole neighbourhood's operators -> ONE upload
+    # (np.asarray downloads at most the already-promoted incumbent)
+    lcs_st = jnp.asarray(np.stack([np.asarray(x) for x in lcs_l]))
+    rcs_st = jnp.asarray(np.stack([np.asarray(x) for x in rcs_l]))
     ttab = pm0._kernel_tip_table()
     interpret = cfg.interpret or (jax.default_backend() != "tpu")
     n_parts = pm0.n_pad // cfg.block_sites
@@ -807,7 +858,8 @@ def batch_log_likelihood_segmented(pms) -> np.ndarray:
 
     plans, lcs_l, rcs_l = [], [], []
     for pm in pms:
-        plan, codes3, lcs3, rcs3, ttab = pm._segmented_inputs()
+        plan, codes3, lcs3, rcs3, ttab = pm._segmented_inputs(
+            device=False)
         plans.append(plan)
         lcs_l.append(lcs3)
         rcs_l.append(rcs3)
@@ -819,8 +871,10 @@ def batch_log_likelihood_segmented(pms) -> np.ndarray:
     # (codes3/ttab come from pm0; per-candidate models share them)
     interpret = cfg.interpret or (jax.default_backend() != "tpu")
     n_parts = pm0.n_pad // cfg.block_sites
+    lcs_st = jnp.asarray(np.stack([np.asarray(x) for x in lcs_l]))
+    rcs_st = jnp.asarray(np.stack([np.asarray(x) for x in rcs_l]))
     parts = batched_seg_loglik_parts(
-        xs_b, codes3, jnp.stack(lcs_l), jnp.stack(rcs_l), pm0._ec, ttab,
+        xs_b, codes3, lcs_st, rcs_st, pm0._ec, ttab,
         pm0._root_rows, pm0._wgt_dev.astype(jnp.float32),
         jnp.int32(pm0.n_sites), states=S, categories=C,
         interpret=interpret, variant=variant, n_parts=n_parts,

@@ -58,18 +58,24 @@ def _rebuild(tree: Tree, new_children, new_lengths=None) -> Tree:
     return Tree(nodes=nodes, root=tree.root)
 
 
-def nni_neighbors(tree: Tree) -> List[Tree]:
+def nni_neighbors(tree: Tree, with_moves: bool = False):
     """All NNI rearrangements of a rooted binary tree.
 
     For each internal edge (parent P -> internal child D with children
     (x, y)) and P's other child s, the two interchanges swap s with x or
     with y.  Branch lengths ride along with their subtrees.
+
+    With ``with_moves`` returns ``(trees, touched)`` where
+    ``touched[i]`` lists the node indices whose branches the move
+    rearranged (the candidates for local length refinement — RAxML's
+    lazy rearrangement re-optimises exactly these).
     """
     parent_of = {}
     for n in tree.nodes:
         for c in n.children:
             parent_of[c] = n.index
     out: List[Tree] = []
+    moves: List[Tuple[int, ...]] = []
     for d in tree.nodes:
         if d.is_leaf or d.index == tree.root:
             continue
@@ -84,15 +90,17 @@ def nni_neighbors(tree: Tree) -> List[Tree]:
         out.append(_rebuild(tree, {
             p_idx: tuple(x if c == s else c for c in p.children),
             d.index: (s, y)}))
+        moves.append((s, x, d.index))
         # swap s <-> y
         out.append(_rebuild(tree, {
             p_idx: tuple(y if c == s else c for c in p.children),
             d.index: (x, s)}))
-    return out
+        moves.append((s, y, d.index))
+    return (out, moves) if with_moves else out
 
 
 def spr_neighbors(tree: Tree, max_neighbors: Optional[int] = None,
-                  seed: int = 0) -> List[Tree]:
+                  seed: int = 0, with_moves: bool = False):
     """All subtree-prune-regraft rearrangements of a rooted binary tree.
 
     For each prunable node ``v`` (neither the root nor a child of the
@@ -120,6 +128,7 @@ def spr_neighbors(tree: Tree, max_neighbors: Optional[int] = None,
         return out
 
     out: List[Tree] = []
+    moves: List[Tuple[int, ...]] = []
     for vnode in tree.nodes:
         v = vnode.index
         if v == tree.root or v not in parent_of:
@@ -153,11 +162,20 @@ def spr_neighbors(tree: Tree, max_neighbors: Optional[int] = None,
             lengths = {s: tree.nodes[s].length + pnode.length,
                        p: half, u: half}
             out.append(_rebuild(tree, children, lengths))
+            moves.append((s, p, u, v))
     if max_neighbors is not None and len(out) > max_neighbors:
         rng = np.random.default_rng(seed)
         keep = rng.choice(len(out), size=max_neighbors, replace=False)
         out = [out[i] for i in sorted(keep)]
-    return out
+        moves = [moves[i] for i in sorted(keep)]
+    return (out, moves) if with_moves else out
+
+
+def _scaled_lengths(tree: Tree, touched, mult: float) -> Tree:
+    """Candidate variant with the move's touched branch lengths scaled."""
+    lengths = {t: max(tree.nodes[t].length * mult, 1e-8)
+               for t in touched}
+    return _rebuild(tree, {}, lengths)
 
 
 def _hill_climb(tree: Tree, model: SubstitutionModel, tip_states,
@@ -165,7 +183,9 @@ def _hill_climb(tree: Tree, model: SubstitutionModel, tip_states,
                 config: Optional[PLFConfig] = None, max_rounds: int = 10,
                 optimize_lengths_every: int = 0, verbose: bool = False,
                 on_round=None, start_round: int = 0,
-                start_accepted: int = 0, start_evals: Optional[int] = None
+                start_accepted: int = 0, start_evals: Optional[int] = None,
+                refine_top: int = 0,
+                refine_multipliers=(0.25, 0.5, 2.0, 4.0)
                 ) -> SearchResult:
     """Greedy hill climbing over an arbitrary move set.
 
@@ -173,6 +193,17 @@ def _hill_climb(tree: Tree, model: SubstitutionModel, tip_states,
     moves to the best strictly-improving topology until none improves or
     ``max_rounds`` is reached.  ``on_round(round, result)`` fires after
     every round (checkpoint hook).
+
+    ``refine_top``: lazy-SPR-grade local refinement — after the base
+    neighbourhood scoring, the top-K candidates are re-scored with
+    their move-touched branch lengths scaled by ``refine_multipliers``
+    (the move generator must supply touched-node lists via
+    ``with_moves``); the variant batch shares one dispatch and each
+    candidate keeps its best variant.  Moves whose improvement only
+    shows after local length adjustment — the ones a fixed-length
+    search wrongly rejects — are recovered this way (RAxML's lazy
+    rearrangement re-optimises exactly these branches before
+    comparing).
     """
 
     def ll_of(t: Tree) -> float:
@@ -235,7 +266,8 @@ def _hill_climb(tree: Tree, model: SubstitutionModel, tip_states,
     for rnd in range(start_round, max_rounds):
         best_move = None
         best_move_ll = best_ll
-        cands = neighbors_fn(current)
+        res = neighbors_fn(current)
+        cands, moves = res if isinstance(res, tuple) else (res, None)
         if cands:
             # The INCUMBENT is scored in the same batch as the
             # candidates: batched and single-model evaluations differ
@@ -251,6 +283,27 @@ def _hill_climb(tree: Tree, model: SubstitutionModel, tip_states,
             if lls[1 + i] > inc_ll:
                 best_move_ll = float(lls[1 + i])
                 best_move = cands[i]
+            if refine_top and moves is not None:
+                # lazy refinement pass: top-K candidates x multipliers
+                # on the touched branches, one batched dispatch, each
+                # compared against the incumbent scored in ITS batch
+                order = np.argsort(np.asarray(lls[1:]))[::-1][:refine_top]
+                variants, meta = [], []
+                for ci in order:
+                    for m in refine_multipliers:
+                        variants.append(
+                            _scaled_lengths(cands[ci], moves[ci], m))
+                        meta.append(ci)
+                vlls = score_all([current] + variants)
+                evals += len(variants)
+                vinc = float(vlls[0])
+                j = int(np.argmax(vlls[1:]))
+                base_margin = (best_move_ll - inc_ll
+                               if best_move is not None else 0.0)
+                if vlls[1 + j] > vinc and (
+                        float(vlls[1 + j]) - vinc > base_margin):
+                    best_move_ll = float(vlls[1 + j])
+                    best_move = variants[j]
         if best_move is None:
             break
         current, best_ll = best_move, best_move_ll
@@ -278,11 +331,15 @@ def nni_search(tree: Tree, model: SubstitutionModel, tip_states,
                wgt=None, alpha: Optional[float] = None,
                config: Optional[PLFConfig] = None, max_rounds: int = 10,
                optimize_lengths_every: int = 0,
+               refine_top: int = 0,
                verbose: bool = False) -> SearchResult:
-    """Greedy NNI hill climbing (see :func:`_hill_climb`)."""
-    return _hill_climb(tree, model, tip_states, nni_neighbors, wgt=wgt,
+    """Greedy NNI hill climbing (see :func:`_hill_climb`);
+    ``refine_top`` enables the lazy local-length refinement pass."""
+    neigh = (lambda t: nni_neighbors(t, with_moves=True))
+    return _hill_climb(tree, model, tip_states, neigh, wgt=wgt,
                        alpha=alpha, config=config, max_rounds=max_rounds,
                        optimize_lengths_every=optimize_lengths_every,
+                       refine_top=refine_top,
                        verbose=verbose)
 
 
@@ -291,16 +348,20 @@ def spr_search(tree: Tree, model: SubstitutionModel, tip_states,
                config: Optional[PLFConfig] = None, max_rounds: int = 10,
                optimize_lengths_every: int = 0,
                max_neighbors: Optional[int] = None,
+               refine_top: int = 0,
                verbose: bool = False) -> SearchResult:
     """Greedy SPR hill climbing; ``max_neighbors`` subsamples the O(n^2)
-    neighbourhood per round (lazy SPR)."""
+    neighbourhood per round; ``refine_top`` enables the lazy
+    local-length refinement pass (RAxML's lazy SPR)."""
 
-    def neigh(t: Tree) -> List[Tree]:
-        return spr_neighbors(t, max_neighbors=max_neighbors)
+    def neigh(t: Tree):
+        return spr_neighbors(t, max_neighbors=max_neighbors,
+                             with_moves=True)
 
     return _hill_climb(tree, model, tip_states, neigh, wgt=wgt,
                        alpha=alpha, config=config, max_rounds=max_rounds,
                        optimize_lengths_every=optimize_lengths_every,
+                       refine_top=refine_top,
                        verbose=verbose)
 
 
@@ -311,6 +372,7 @@ def tree_search(tree: Tree, model: SubstitutionModel, tip_states,
                 optimize_lengths_every: int = 0,
                 max_neighbors: Optional[int] = None,
                 checkpoint_path: Optional[str] = None,
+                refine_top: int = 0,
                 verbose: bool = False) -> SearchResult:
     """Production search driver: strategy selection + checkpoint/resume.
 
@@ -350,17 +412,22 @@ def tree_search(tree: Tree, model: SubstitutionModel, tip_states,
                 "evaluations": res.evaluations, "strategy": strategy})
 
     if strategy == "nni":
-        neigh = nni_neighbors
+        neigh = lambda t: nni_neighbors(t, with_moves=True)
     elif strategy == "spr":
-        neigh = lambda t: spr_neighbors(t, max_neighbors=max_neighbors)
+        neigh = lambda t: spr_neighbors(t, max_neighbors=max_neighbors,
+                                        with_moves=True)
     elif strategy == "mixed":
-        neigh = lambda t: (spr_neighbors(t, max_neighbors=max_neighbors)
-                           + nni_neighbors(t))
+        def neigh(t):
+            ts, ms = spr_neighbors(t, max_neighbors=max_neighbors,
+                                   with_moves=True)
+            tn, mn = nni_neighbors(t, with_moves=True)
+            return ts + tn, ms + mn
     else:
         raise ValueError(f"unknown strategy {strategy!r}")
     return _hill_climb(tree, model, tips, neigh, wgt=wgt, alpha=alpha,
                        config=config, max_rounds=max_rounds,
                        optimize_lengths_every=optimize_lengths_every,
+                       refine_top=refine_top,
                        verbose=verbose, on_round=on_round,
                        start_round=start_round,
                        start_accepted=start_accepted,

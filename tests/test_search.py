@@ -199,3 +199,49 @@ def test_batch_scoring_falls_back_beyond_arena():
            for t in nni_neighbors(tree)[:2]]
     with pytest.raises(ValueError, match="does not fit"):
         batch_log_likelihood(pms)
+
+
+@pytest.mark.slow
+def test_refined_search_beats_fixed_length_search():
+    """Lazy-SPR-grade refinement: with move-touched branch lengths
+    re-scored at scaled variants (refine_top), the search reaches a
+    strictly higher ll than fixed-length search in the same number of
+    rounds on a distorted start (moves whose improvement only shows
+    after local length adjustment are recovered)."""
+    from plf_tpu.models.search import nni_search
+    from plf_tpu.models.tree import Tree, TreeNode
+
+    true_tree = random_tree(16, seed=1, mean_branch=0.15)
+    model = hky85(4.0)
+    tips = simulate_alignment(true_tree, model, 600, alpha=0.7, seed=1)
+    start = random_tree(16, seed=51, mean_branch=0.15)
+    nodes = [TreeNode(n.index, n.name, n.length * 6.0, n.children)
+             for n in start.nodes]
+    start = Tree(nodes=nodes, root=start.root)
+    cfg = PLFConfig(block_sites=128)
+    r0 = nni_search(start, model, tips, alpha=0.7, config=cfg,
+                    max_rounds=6)
+    r1 = nni_search(start, model, tips, alpha=0.7, config=cfg,
+                    max_rounds=6, refine_top=4)
+    assert r1.log_likelihood > r0.log_likelihood + 10.0
+
+
+def test_refinement_variants_include_identity_margin():
+    """The refinement pass never degrades a round: variants are only
+    accepted when they beat BOTH the incumbent and the best unrefined
+    candidate margin (same-batch comparisons)."""
+    from plf_tpu.models.search import (_scaled_lengths, nni_neighbors,
+                                       spr_neighbors)
+
+    tree = random_tree(8, seed=3)
+    trees, moves = nni_neighbors(tree, with_moves=True)
+    assert len(trees) == len(moves)
+    assert all(len(m) == 3 for m in moves)
+    t2 = _scaled_lengths(trees[0], moves[0], 2.0)
+    for node in moves[0]:
+        assert np.isclose(t2.nodes[node].length,
+                          trees[0].nodes[node].length * 2.0)
+    trees_s, moves_s = spr_neighbors(tree, with_moves=True,
+                                     max_neighbors=7, seed=1)
+    assert len(trees_s) == len(moves_s) == 7
+    assert all(len(m) == 4 for m in moves_s)
