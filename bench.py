@@ -242,6 +242,30 @@ def main():
             record["hbm_ceiling_gbs_same_lease"] = round(ceiling, 1)
         except Exception as e:       # the headline number must survive
             log(f"ceiling probe failed: {type(e).__name__}: {e}")
+        # The precision/state ladder as same-lease secondary metrics:
+        # the single JSON line certifies the whole config matrix, not
+        # just the DNA headline (per-config reporting parity with the
+        # reference's sweep tables, run_all.sh:6-118, timing.h:101-151).
+        secondary = []
+        for name, kw in (
+                ("plf_dna_bf16_sites_per_sec",
+                 dict(n_sites=args.sites, block=args.block,
+                      dtype="bfloat16")),
+                ("plf_protein_mxu3x_sites_per_sec",
+                 dict(n_sites=args.sites // 8, block=4096, states=20,
+                      variant="mxu_3x")),
+                ("plf_codon_mxu3x_sites_per_sec",
+                 dict(n_sites=args.sites // 16, block=1024, states=61,
+                      variant="mxu_3x")),
+        ):
+            try:
+                s = bench_fused(**kw)
+                secondary.append({"metric": name, "value": round(s, 1),
+                                  "unit": "sites/s"})
+            except Exception as e:   # secondary rows must not kill it
+                log(f"{name} failed: {type(e).__name__}: {e}")
+        if secondary:
+            record["secondary"] = secondary
     print(json.dumps(record))
 
 

@@ -199,6 +199,51 @@ def run_batch():
           f"per-candidate lls", flush=True)
 
 
+def run_codon():
+    """Round-5 codon workflow on hardware: GY94 omega/kappa profile fit
+    at the mxu_3x ladder + bf16 boundary-storage segmented check."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from plf_tpu.config import PLFConfig
+    from plf_tpu.models import PhyloModel, hky85, random_tree
+    from plf_tpu.models.optimize import fit_codon, tree_loglik_fn
+    from plf_tpu.models.simulate import simulate_alignment
+    from plf_tpu.models.substitution import codon_gy94
+
+    tree = random_tree(6, seed=5, mean_branch=0.2)
+    tips = simulate_alignment(tree, codon_gy94(3.0, 0.25), 2048, seed=3)
+    cfg = PLFConfig(states=61, block_sites=1024, kernel_variant="auto")
+    model, info = fit_codon(tree, tips, config=cfg, rounds=1, iters=6,
+                            length_steps=12)
+    assert np.isfinite(info["ll"])
+    assert 0.02 < info["omega"] < 2.0, info["omega"]
+    print(f"codon GY94 fit on HW: kappa={info['kappa']:.2f} "
+          f"omega={info['omega']:.3f} ll={info['ll']:.2f} "
+          f"(simulated omega=0.25)", flush=True)
+
+    # bf16 boundary storage: segmented fwd close to fp32, grads finite
+    t2 = random_tree(48, seed=2)
+    a2 = np.random.default_rng(3).integers(0, 4, size=(48, 65536))
+    pm32 = PhyloModel(t2, hky85(2.0), a2, alpha=0.6,
+                      config=PLFConfig(block_sites=4096))
+    pm16 = PhyloModel(t2, hky85(2.0), a2, alpha=0.6,
+                      config=PLFConfig(block_sites=4096,
+                                       dtype="bfloat16"))
+    ll32 = pm32.log_likelihood(method="segmented").log_likelihood
+    ll16 = pm16.log_likelihood(method="segmented").log_likelihood
+    rel = abs(ll16 - ll32) / abs(ll32)
+    assert rel < 5e-3 and ll16 != ll32, (ll16, ll32)
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        fn16, t0 = tree_loglik_fn(pm16, backend="segmented")
+    v, g = jax.value_and_grad(fn16)(jnp.asarray(t0))
+    assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
+    print(f"bf16 boundary storage on HW: ll drift {rel:.2e}, "
+          f"grads finite", flush=True)
+
+
 def run_bench():
     import bench
     saved = sys.argv
@@ -218,7 +263,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", action="append", default=[],
                     choices=["hw_verify", "treegrad", "segmented",
-                             "mxu_ladder", "batch", "bench", "overlap"])
+                             "mxu_ladder", "batch", "codon", "bench",
+                             "overlap"])
     args = ap.parse_args()
 
     import jax
@@ -229,6 +275,7 @@ def main():
                     ("segmented", run_segmented),
                     ("mxu_ladder", run_mxu_ladder),
                     ("batch", run_batch),
+                    ("codon", run_codon),
                     ("bench", run_bench),
                     ("overlap", run_overlap)]
     for name, fn in all_sections:

@@ -32,7 +32,7 @@ import numpy as np
 
 from ..config import Backend
 from ..reference import MIN_LIKELIHOOD, TWO_TO_THE_32
-from .phylo import LOG_MINLIK, PhyloModel
+from .phylo import LIK_FLOOR, LOG_MINLIK, PhyloModel
 
 __all__ = ["tree_loglik_fn", "optimize_branch_lengths", "optimize_alpha",
            "optimize_pinv", "fit_model", "fit_codon"]
@@ -197,7 +197,7 @@ def tree_loglik_fn(pm: PhyloModel, with_rates: bool = False,
         # mixed-sign eigen coords cancel (see models/phylo.py).
         lik = jnp.matmul(root, pi_u,
                          precision=jax.lax.Precision.HIGHEST) @ w_vec
-        site_ll = jnp.log(jnp.maximum(lik, jnp.float32(1e-45)))
+        site_ll = jnp.log(jnp.maximum(lik, jnp.float32(LIK_FLOOR)))
         scaler = jnp.sum(scaler_sites * wgt.astype(jnp.int32))
         ll = jnp.sum(site_ll * wgt) + scaler * jnp.float32(LOG_MINLIK)
         if asc:
@@ -293,7 +293,7 @@ def _tree_loglik_fn_pallas(pm: PhyloModel, with_rates: bool = False,
         rows_vec = jnp.repeat(pi_u, C) * jnp.tile(w_vec, S)
         lik = jnp.matmul(rows_vec[None, :], x_root,
                          precision=jax.lax.Precision.HIGHEST)[0]  # (n_pad,)
-        site_ll = jnp.log(jnp.maximum(lik[:n], jnp.float32(1e-45)))
+        site_ll = jnp.log(jnp.maximum(lik[:n], jnp.float32(LIK_FLOOR)))
         sc_row = scaler_sites[0].astype(jnp.float32)
         scaler = jnp.sum(sc_row * wpad)
         ll = (jnp.sum(site_ll * wpad[:n]) + scaler * jnp.float32(LOG_MINLIK))
@@ -414,6 +414,15 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
     cw = jnp.asarray(pm.rate_weights, jnp.float32)
     variant = (cfg.resolved_kernel_variant
                if cfg.backend is not Backend.XLA else "vpu")
+    if variant == "mxu_3x" and cfg.kernel_variant == "auto":
+        # Training override for auto configs: the bf16x3 split costs a
+        # VPU pass over every big operand and the backward runs ~9 dots
+        # per op — measured on v5e the 6-pass HIGHEST backward is both
+        # FASTER (S=20 64x131k value_and_grad 110.9 vs 161.8 ms,
+        # r05_fenced.txt) and more accurate (grad err 7e-06 vs 1.9e-03,
+        # r04_protein.csv).  Forward-only paths keep mxu_3x (21.2 vs
+        # 30.0 ms).  An explicit kernel_variant="mxu_3x" is honoured.
+        variant = "mxu"
     if variant.startswith("mxu"):
         ec = jnp.asarray(L.ev_to_block_matrix(model.plf_ev, S, C))
     else:
@@ -429,6 +438,7 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
             [pm.wgt.astype(np.float32), np.zeros(n_pad - n, np.float32)]))
     from ..io.alignment import tip_expansion_table
     wg_tbl = tip_expansion_table(model.w, S).astype(np.float32)
+    wg_tbl = wg_tbl[:, :pm._tip_ncols]    # observed-code trim (phylo)
     ttab_rep = jnp.asarray(np.repeat(wg_tbl, C, axis=0))   # (rows, ncode)
     codes3 = codes_dev.reshape(n_leaves, 1, n_pad)
 
@@ -506,7 +516,7 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
         rcs3 = jax.vmap(lambda t: lane_const(t, r_vec))(t_r)
         rr = (jnp.repeat(pi_u, C) * jnp.tile(w_vec, S))[None, :]
         lik, sc = tdiff(codes3, lcs3, rcs3, ec, ttab_rep, rr, n_dev)
-        site_ll = jnp.log(jnp.maximum(lik[0, :n], jnp.float32(1e-45)))
+        site_ll = jnp.log(jnp.maximum(lik[0, :n], jnp.float32(LIK_FLOOR)))
         sc_row = sc[0].astype(jnp.float32)
         scaler = jnp.sum(sc_row * wpad)
         ll = (jnp.sum(site_ll * wpad[:n])
@@ -792,7 +802,7 @@ def fit_model(pm: PhyloModel, steps: int = 150, learning_rate: float = 0.02,
             root, pi @ u,
             precision=jax.lax.Precision.HIGHEST) @ jnp.asarray(
                 pm.rate_weights, jnp.float32)
-        site_ll = jnp.log(jnp.maximum(lik, jnp.float32(1e-45)))
+        site_ll = jnp.log(jnp.maximum(lik, jnp.float32(LIK_FLOOR)))
         scaler = jnp.sum(scaler_sites * wgt.astype(jnp.int32))
         ll = jnp.sum(site_ll * wgt) + scaler * jnp.float32(LOG_MINLIK)
         if pm.ascertainment == "lewis":

@@ -44,6 +44,16 @@ __all__ = ["PhyloModel", "TreeLikelihoodResult"]
 
 LOG_MINLIK = float(np.log(np.float64(2.0) ** -32))
 
+#: Site-likelihood floor before the log.  Must be a NORMAL fp32 value:
+#: TPU (and XLA:CPU fastmath) flush subnormals, so a 1e-45-style floor
+#: becomes max(lik, 0.0) and a reduced-precision negative-rounded site
+#: yields log(0) = -inf through every device-side reduction (observed:
+#: sharded codon mxu_3x).  FLT_MIN survives FTZ; the floor penalty is
+#: log(FLT_MIN) = -87.3 for pathological sites only (exact variants
+#: never produce sub-floor likelihoods after rescaling).
+LIK_FLOOR = 1.1754944e-38
+
+
 
 @dataclasses.dataclass
 class TreeLikelihoodResult:
@@ -228,11 +238,21 @@ class PhyloModel:
         # consumes arbitrary tip CLVs).
         from ..io.alignment import map_tip_codes, tip_expansion_table
         if _donor0 is None:
+            # Trim the table to the observed code range: the in-kernel
+            # expansion costs one VPU pass over (rows, BS) PER COLUMN,
+            # and IUPAC ambiguity columns are dead weight for the
+            # common no-ambiguity alignment (measured ~1/3 of the DNA
+            # segmented forward at 160 taxa — r05 tip audit).  Gap code
+            # S is always present (padding sites use it).
+            codes_obs = map_tip_codes(self.tip_states, S)
+            self._tip_ncols = max(S + 1, int(codes_obs.max()) + 1)
             tbl = tip_expansion_table(model.w, S)    # (S, S+1+A)
+            tbl = tbl[:, :self._tip_ncols]
             self._tip_table = jnp.asarray(tbl.astype(np.float32))
             self._n_codes = tbl.shape[1]
         else:
             self._n_codes = _donor0._n_codes
+            self._tip_ncols = _donor0._tip_ncols
         # Root reduction over lane-major rows (row = a*C + c): pi^T U
         # weighted by the category mixture (uniform 1/C unless +I or
         # explicit rate_weights).
@@ -397,12 +417,12 @@ class PhyloModel:
         n_obs = self.n_sites_obs
         lik_h = np.asarray(lik_pad, dtype=np.float64)
         # Floor before the log, matching the differentiable paths
-        # (optimize.py clamps at 1e-45): exact variants always produce
+        # (optimize.py clamps at LIK_FLOOR): exact variants always produce
         # positive likelihoods so this is a no-op there, but the 1-pass
         # bf16 fast mode (kernel_variant="mxu_bf16") can round
         # near-underflow site likelihoods NEGATIVE — those sites get the
         # deterministic floor penalty instead of log(<0)=NaN.
-        site_ll = np.log(np.maximum(lik_h[:n_obs], 1e-45))
+        site_ll = np.log(np.maximum(lik_h[:n_obs], LIK_FLOOR))
         corr = 0.0
         if self.ascertainment == "lewis":
             corr = self._asc_log_one_minus_pconst(lik_h, sc_sites)
@@ -442,11 +462,13 @@ class PhyloModel:
 
     def _kernel_tip_table(self):
         """Tip table per lane-major row: ttab[(a,c), col] = tbl[a, col]
-        (state + gap + IUPAC partial-ambiguity columns)."""
+        (state + gap + observed IUPAC partial-ambiguity columns; trimmed
+        to the alignment's code range — see __init__)."""
         if getattr(self, "_ttab_cache", None) is None:
             from ..io.alignment import tip_expansion_table
             S, C = self.config.states, self.config.categories
             wg = tip_expansion_table(self.model.w, S)
+            wg = wg[:, :self._tip_ncols]
             self._ttab_cache = jnp.asarray(
                 np.repeat(wg, C, axis=0).astype(np.float32))
         return self._ttab_cache
@@ -657,7 +679,7 @@ class PhyloModel:
             valid = (jax.lax.broadcasted_iota(jnp.int32, (1, shard), 1)
                      < n_local)
             site_ll = jnp.where(valid,
-                                jnp.log(jnp.maximum(lik, 1e-45)), 0.0)
+                                jnp.log(jnp.maximum(lik, LIK_FLOOR)), 0.0)
             ll_part = jax.lax.psum(
                 jnp.sum(site_ll * wgt_s.astype(jnp.float32)), "sites")
             sc_part = jax.lax.psum(jnp.sum(sc * wgt_s), "sites")
@@ -679,12 +701,12 @@ class PhyloModel:
                                      np.asarray(sc_sites)[0], scaler_total)
         ll = float(ll_sum) + scaler_total * LOG_MINLIK
         lik_h = np.asarray(lik, np.float64)[0, :n]
-        # Same 1e-45 floor as _finalise_ll / the in-kernel clamp: the
+        # Same LIK_FLOOR floor as _finalise_ll / the in-kernel clamp: the
         # 1-pass bf16 variant can round near-underflow likelihoods
         # negative, and this per-site array feeds RELL/site outputs.
         return TreeLikelihoodResult(
             log_likelihood=ll,
-            site_log_likelihood=np.log(np.maximum(lik_h, 1e-45)),
+            site_log_likelihood=np.log(np.maximum(lik_h, LIK_FLOOR)),
             scaler_total=scaler_total, root_clv=None)
 
     # -- brute-force oracle (tests) -----------------------------------------

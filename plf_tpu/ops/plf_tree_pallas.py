@@ -654,7 +654,7 @@ def batched_tree_loglik_parts(sched_stack, lcs_st, rcs_st, codes, ec, ttab,
             categories=categories, block_sites=block_sites,
             interpret=interpret, variant=variant)
         log_minlik = jnp.float32(np.log(np.float64(2.0) ** -32))
-        site = (jnp.log(jnp.maximum(lik[0], jnp.float32(1e-45)))
+        site = (jnp.log(jnp.maximum(lik[0], jnp.float32(1.1754944e-38)))
                 + sc[0].astype(jnp.float32) * log_minlik) * wpad
         return jnp.sum(site.reshape(n_parts, chunk), axis=-1)
 

@@ -51,6 +51,15 @@ from .plf_pallas import make_mxu_dots
 from .plf_tree_pallas import (ARENA_VMEM_BUDGET, _expand_tip, _plf_node,
                               _plf_node_mxu, fit_block_sites)
 
+#: VMEM budget for the segmented kernels' scratch (slightly above the
+#: single-arena kernels' 10 MiB: the segmented planner's accounting is
+#: exact — doubled boundary region, staging, fac/codes slots, and the
+#: backward's six double-buffered operator stacks are all counted — so
+#: the budget can sit closer to the ~16 MiB Mosaic scoped-VMEM limit;
+#: 12 MiB keeps S=20 plans at block 1024, measured Mosaic-accepted and
+#: ~equal-speed to 13 MiB on HW, r05_slope.txt).
+SEG_VMEM_BUDGET = 12 * 2 ** 20
+
 __all__ = ["plan_segments", "SegPlan", "Segment", "plf_tree_segmented",
            "make_tree_diff_segmented"]
 
@@ -109,7 +118,7 @@ class SegPlan:
 def plan_segments(schedule: Sequence[Tuple], n_leaves: int, *, rows: int,
                   block_sites: int,
                   cap_ops: Optional[int] = None,
-                  vmem_budget: int = ARENA_VMEM_BUDGET,
+                  vmem_budget: int = SEG_VMEM_BUDGET,
                   op_width: int = 0) -> SegPlan:
     """Contract a reordered schedule into uniform-shape segments.
 
@@ -276,7 +285,7 @@ def _plan_with_cap(schedule, n_leaves, *, rows, block_sites, cap_ops,
     extra = 6 + -(-(seg_ops + seg_tips) // max(rows, 1))
     fitted = fit_block_sites(seg_tips + 2 * seg_bnd + seg_ops + extra,
                              rows, block_sites,
-                             vmem_budget - seg_ops * op_bytes)
+                             vmem_budget - 2 * seg_ops * op_bytes)
     if fitted is None:
         if cap_ops > 1:
             return _plan_with_cap(schedule, n_leaves, rows=rows,
@@ -693,9 +702,25 @@ def _seg_args(xs):
             xs["bnd_idx"], xs["gout"])
 
 
-def _gather_stacks(xs, codes3, lcs3, rcs3):
-    """Per-segment stacked inputs (one gather per eval, on device)."""
-    codes_st = jnp.take(codes3, xs["tip_ids"], axis=0)
+def _gather_stacks(xs, codes3, lcs3, rcs3, plan=None):
+    """Per-segment stacked inputs (one gather per eval, on device).
+
+    The codes gather materialises (n_seg, seg_tips, 1, n_pad) — up to
+    GBs of HBM write+read per eval at production sizes — and its inputs
+    (tip codes + plan) are constant across evaluations of one model, so
+    the eager paths cache it on the plan (skipped under tracing; the
+    differentiable path re-runs it inside the compiled graph where XLA
+    CSEs the fwd/bwd copies)."""
+    cache = getattr(plan, "_codes_st_cache", None) if plan else None
+    if cache is not None and cache[0] is codes3:
+        codes_st = cache[1]
+    else:
+        codes_st = jnp.take(codes3, xs["tip_ids"], axis=0)
+        if (plan is not None
+                and not isinstance(codes3, jax.core.Tracer)
+                and not isinstance(xs["tip_ids"], jax.core.Tracer)):
+            object.__setattr__(plan, "_codes_st_cache",
+                               (codes3, codes_st))
     lcs_st = jnp.take(lcs3, xs["opos"], axis=0)
     rcs_st = jnp.take(rcs3, xs["opos"], axis=0)
     return codes_st, lcs_st, rcs_st
@@ -715,7 +740,8 @@ def _run_forward(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
     xs = _stacked_plan_dev(plan)
     rows = states * categories
     n_pad = codes3.shape[-1]
-    codes_st, lcs_st, rcs_st = _gather_stacks(xs, codes3, lcs3, rcs3)
+    codes_st, lcs_st, rcs_st = _gather_stacks(xs, codes3, lcs3, rcs3,
+                                              plan=plan)
     bbuf0 = jnp.zeros((plan.n_boundaries + 1, rows, n_pad), io_dtype)
     scbuf0 = jnp.zeros((8, n_pad), jnp.float32)
     bbuf, _, lik, sc = _seg_fwd_call(
@@ -1098,7 +1124,7 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
                              block_sites: int = 1024,
                              cap_ops: Optional[int] = None,
                              interpret: bool = False,
-                             vmem_budget: int = ARENA_VMEM_BUDGET,
+                             vmem_budget: int = SEG_VMEM_BUDGET,
                              variant: str = "vpu",
                              dtype: str = "float32"):
     """Differentiable segmented whole-tree likelihood.
@@ -1192,7 +1218,7 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
 
 
 def stack_plans(plans: Sequence[SegPlan], rows: int,
-                vmem_budget: int = ARENA_VMEM_BUDGET,
+                vmem_budget: int = SEG_VMEM_BUDGET,
                 op_width: int = 0):
     """Pad per-candidate SegPlans to one batch-uniform shape.
 
@@ -1302,7 +1328,7 @@ def batched_seg_loglik_parts(xs_b, codes3, lcs3_b, rcs3_b, ec, ttab, rr,
             seg_bnd=seg_bnd, seg_ops=seg_ops, states=states,
             categories=categories, block_sites=block_sites,
             interpret=interpret, variant=variant)
-        site = (jnp.log(jnp.maximum(lik[0], jnp.float32(1e-45)))
+        site = (jnp.log(jnp.maximum(lik[0], jnp.float32(1.1754944e-38)))
                 + sc[0].astype(jnp.float32) * log_minlik) * wpad
         return jnp.sum(site.reshape(n_parts, chunk), axis=-1)
 

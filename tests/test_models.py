@@ -246,5 +246,10 @@ def test_finalise_ll_floors_negative_site_likelihoods():
     lik = np.array([0.5, -1e-40, 0.0, 1e-30, 0.25, 0.1, 0.2, 0.3])
     res = pm._finalise_ll(lik, np.zeros(8, np.int64), 0)
     assert np.all(np.isfinite(res.site_log_likelihood))
+    # floor = FLT_MIN (a NORMAL fp32: subnormal floors flush to zero
+    # under TPU/XLA FTZ and reintroduce log(0) = -inf on device paths)
+    from plf_tpu.models.phylo import LIK_FLOOR
     assert res.site_log_likelihood[1] == res.site_log_likelihood[2] == (
-        np.log(1e-45))
+        np.log(LIK_FLOOR))
+    # sub-floor but positive sites floor too (1e-30 > FLT_MIN: kept)
+    assert np.isclose(res.site_log_likelihood[3], np.log(1e-30))

@@ -170,3 +170,46 @@ def test_backend_selector_agrees_with_factory():
                         fromlist=["tree_loglik_fn"]).tree_loglik_fn(
         pm, backend="segmented")
     assert np.isfinite(float(fn(jnp.asarray(t0))))
+
+
+@pytest.mark.slow
+def test_mxu3x_accuracy_depth_ladder():
+    """mxu_3x error does NOT compound with tree depth: ll drift vs the
+    exact VPU anchor stays ~1e-5-class from 8 to 256 taxa (per-site
+    rounding averages out), and segmented-VJP gradient drift stays in
+    the 1e-3..1e-2 class — the measured basis for mxu_3x being the
+    S>=20 default (auto policy, config.resolved_kernel_variant)."""
+    import jax
+    import jax.numpy as jnp
+
+    from plf_tpu.models import PhyloModel, random_tree
+    from plf_tpu.models.optimize import tree_loglik_fn
+    from plf_tpu.models.substitution import empirical_protein
+
+    lg = empirical_protein("lg")
+    ll_bounds = {8: 5e-5, 64: 5e-5, 256: 5e-5}
+    for n_taxa, bound in ll_bounds.items():
+        tree = random_tree(n_taxa, seed=7, mean_branch=0.12)
+        tips = np.random.default_rng(1).integers(
+            0, 20, size=(n_taxa, 256))
+        lls = {}
+        for v in ("vpu", "mxu_3x"):
+            cfg = PLFConfig(states=20, block_sites=128,
+                            kernel_variant=v)
+            pm = PhyloModel(tree, lg, tips, alpha=0.8, config=cfg)
+            lls[v] = pm.log_likelihood(
+                method="segmented").log_likelihood
+        drift = abs(lls["mxu_3x"] - lls["vpu"]) / abs(lls["vpu"])
+        assert drift < bound, (n_taxa, drift)
+    # gradient drift at full depth (256 taxa) stays bounded
+    tree = random_tree(256, seed=7, mean_branch=0.12)
+    tips = np.random.default_rng(1).integers(0, 20, size=(256, 256))
+    g = {}
+    for v in ("vpu", "mxu_3x"):
+        cfg = PLFConfig(states=20, block_sites=128, kernel_variant=v)
+        pm = PhyloModel(tree, lg, tips, alpha=0.8, config=cfg)
+        fn, t0 = tree_loglik_fn(pm, backend="segmented")
+        _, g[v] = jax.value_and_grad(fn)(jnp.asarray(t0))
+    rms = float(jnp.linalg.norm(g["mxu_3x"] - g["vpu"])
+                / jnp.linalg.norm(g["vpu"]))
+    assert rms < 2e-2, rms
