@@ -34,3 +34,9 @@ def test_full_inference_example_runs(monkeypatch):
     _run("examples/full_inference.py",
          ["--taxa", "6", "--sites", "400", "--bootstrap", "3"],
          monkeypatch)
+
+
+@pytest.mark.slow
+def test_codon_dnds_example_runs(monkeypatch):
+    _run("examples/codon_dnds.py",
+         ["--taxa", "5", "--codons", "200"], monkeypatch)
