@@ -3,11 +3,12 @@ from .substitution import (SubstitutionModel, jc69, hky85, gtr, random_gtr,
                            branch_matrices, parse_paml_matrix,
                            empirical_protein, AMINO_ACIDS,
                            SENSE_CODONS, codon_gy94, f3x4_frequencies,
-                           encode_codon_alignment)
+                           f3x4_from_codes, encode_codon_alignment)
 from .tree import Tree, TreeNode, parse_newick, random_tree
 from .phylo import PhyloModel, TreeLikelihoodResult
 from .optimize import (tree_loglik_fn, optimize_branch_lengths,
-                       optimize_alpha, optimize_pinv, fit_model)
+                       optimize_alpha, optimize_pinv, fit_model,
+                       fit_codon)
 from .simulate import simulate_alignment
 from .search import (nni_neighbors, nni_search, spr_neighbors, spr_search,
                      tree_search, SearchResult)
@@ -22,4 +23,5 @@ from .consensus import (bipartitions, rf_distance, majority_rule_consensus,
 from .pipeline import InferenceResult, run_inference
 from .support import alrt_support, annotate_alrt
 from .selection import (ModelFit, SelectionResult, model_select,
-                        empirical_frequencies, DNA_CANDIDATES)
+                        empirical_frequencies, DNA_CANDIDATES,
+                        PROTEIN_CANDIDATES, CODON_CANDIDATES)

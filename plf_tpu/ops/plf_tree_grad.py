@@ -132,8 +132,10 @@ def _tree_bwd_kernel(n_ref, lpos_ref, rpos_ref,
     # Unified arena (see compile_backward_schedule): tips preloaded into
     # slots [0, n_leaves), node CLVs at n_leaves + schedule position —
     # operand fetches are branch-free dynamic reads on the leading dim.
+    # MXU variants expand via one ttab @ onehot matmul (plf_tree_pallas).
     def preload(l, _):
-        arena_ref[l] = _expand_tip(codes_ref[l], ttab_ref)
+        arena_ref[l] = _expand_tip(codes_ref[l], ttab_ref,
+                                   dot=dot if is_mxu else None)
         return 0
 
     jax.lax.fori_loop(0, n_leaves, preload, 0)

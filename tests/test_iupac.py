@@ -129,3 +129,28 @@ def test_protein_ambiguity_bruteforce():
     ll = pm.log_likelihood(method="per-node").log_likelihood
     oracle = pm.log_likelihood_bruteforce()
     assert ll == pytest.approx(oracle, rel=1e-4)
+
+
+def test_tip_table_trims_to_observed_codes():
+    """The kernel tip table trims to the observed code range (plain +
+    gap when the data has no ambiguity codes; full width when IUPAC
+    codes are present) — and both paths stay exact vs brute force."""
+    from plf_tpu.config import PLFConfig
+    from plf_tpu.models import PhyloModel, hky85, random_tree
+
+    tree = random_tree(5, seed=3)
+    cfg = PLFConfig(block_sites=128, interpret=True)
+    plain = np.random.default_rng(1).integers(0, 4, size=(5, 200))
+    pm = PhyloModel(tree, hky85(2.0), plain, alpha=0.6, config=cfg)
+    assert pm._tip_ncols == 5             # ACGT + gap only
+    assert pm._kernel_tip_table().shape[-1] == 5
+    ll = pm.log_likelihood(method="fused").log_likelihood
+    assert np.isclose(ll, pm.log_likelihood_bruteforce(), rtol=1e-5)
+
+    # same data with one ambiguity code -> its column range is kept
+    amb = plain.copy()
+    amb[0, 0] = 5            # maps to internal ambiguity code 6
+    pm2 = PhyloModel(tree, hky85(2.0), amb, alpha=0.6, config=cfg)
+    assert pm2._tip_ncols == 7
+    ll2 = pm2.log_likelihood(method="fused").log_likelihood
+    assert np.isclose(ll2, pm2.log_likelihood_bruteforce(), rtol=1e-5)
