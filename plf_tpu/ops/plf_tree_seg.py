@@ -283,6 +283,10 @@ def _plan_with_cap(schedule, n_leaves, *, rows, block_sites, cap_ops,
     # without counting these the planner can approve a block the Mosaic
     # compiler then rejects at the budget boundary.
     extra = 6 + -(-(seg_ops + seg_tips) // max(rows, 1))
+    if rows % 8:
+        # non-tiling-aligned rows (codon 244) route DMAs through
+        # padded landing/staging scratch: ~3*seg_bnd extra slots
+        extra += 3 * seg_bnd
     fitted = fit_block_sites(seg_tips + 2 * seg_bnd + seg_ops + extra,
                              rows, block_sites,
                              vmem_budget - 2 * seg_ops * op_bytes)
@@ -338,6 +342,28 @@ def _phys_slot(v, seg_tips, seg_bnd, ph):
                                    jnp.where(v >= seg_tips, ph, 0))
 
 
+def _rows_pad8(rows: int) -> int:
+    """HBM buffer row dim, padded to the fp32 sublane tile (8).
+
+    Mosaic rejects HBM memref slices whose dim-1 size is not a tiling
+    multiple ("must be aligned to tiling (8)") — rows = S*C is 16/80
+    for DNA/protein but 244 for codon.  The boundary/adjoint buffers
+    allocate the padded row count and all row DMAs copy the full padded
+    height; kernels slice the loaded VALUE back to ``rows``.
+    """
+    return -(-rows // 8) * 8
+
+
+def _pad_rows(x, rows_pad: int):
+    """Zero-pad the leading (sublane) dim of ``x`` up to ``rows_pad``."""
+    rows = x.shape[0]
+    if rows == rows_pad:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((rows_pad - rows,) + x.shape[1:], x.dtype)],
+        axis=0)
+
+
 def _seg_fwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
                     bnd_idx_ref, gout_ref,
                     codes_ref, bbuf_hbm, scbuf_hbm, lcs_ref, rcs_ref,
@@ -347,7 +373,8 @@ def _seg_fwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
                     sem_in, sem_out, *,
                     n_seg, n_blocks, n_boundaries, seg_tips, seg_bnd,
                     seg_ops, states, categories, block_sites,
-                    variant="vpu", io_bf16=False, pipeline=True):
+                    variant="vpu", io_bf16=False, rows_pad=None,
+                    pipeline=True):
     """Fused segmented forward with double-buffered manual DMA.
 
     The manual boundary-row DMAs are the one data stream the Pallas grid
@@ -388,6 +415,11 @@ def _seg_fwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
     valid = idx < n_ref[0]
     is_mxu = variant.startswith("mxu")
     dot = make_mxu_dots(variant)[0] if is_mxu else None
+    rows_pad_ = rows_pad or rows
+    # DMAs must land in / stage from a padded-height scratch whenever
+    # the rows dim is not tiling-aligned (codon rows=244) or storage is
+    # bf16 (DMA cannot convert)
+    use_landing = io_bf16 or rows_pad_ != rows
     n_tips, n_bnd = cnt_ref[s, 0], cnt_ref[s, 1]
     n_ops = cnt_ref[s, 2]
 
@@ -408,7 +440,7 @@ def _seg_fwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
         s0 = blk * BS
 
         def bnd_cp(b):
-            dst = (bnd16_ref.at[phase, b] if io_bf16
+            dst = (bnd16_ref.at[phase, b] if use_landing
                    else arena_ref.at[seg_tips + phase * seg_bnd + b])
             return pltpu.make_async_copy(
                 bbuf_out.at[bnd_idx_ref[s, b], :, pl.ds(s0, BS)],
@@ -430,10 +462,10 @@ def _seg_fwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
         jax.lax.fori_loop(0, n_bnd,
                           lambda b, c: (bnd_cp(b).wait(), c)[1], 0)
         sc_cp.wait()
-        if io_bf16:
+        if use_landing:
             def widen(b, c):
                 arena_ref[seg_tips + phase * seg_bnd + b] = (
-                    bnd16_ref[phase, b].astype(jnp.float32))
+                    bnd16_ref[phase, b][:rows].astype(jnp.float32))
                 return c
             jax.lax.fori_loop(0, n_bnd, widen, 0)
 
@@ -517,7 +549,8 @@ def _seg_fwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
     # export the root CLV + running scaler count via the step-parity
     # staging slots (the arena root slot is rewritten next step; the
     # staged copy retires ``lag`` steps later, fully overlapped)
-    stage_ref[pho] = x_root.astype(stage_ref.dtype)
+    stage_ref[pho] = _pad_rows(x_root.astype(stage_ref.dtype),
+                               rows_pad_)
     scst_ref[pho] = jnp.broadcast_to(total, scst_ref.shape[1:])
     r, c = out_copies(s, i, pho)
     r.start()
@@ -565,17 +598,20 @@ def _seg_fwd_call(seg_arrs, codes_st, bbuf, scbuf, lcs_st, rcs_st, ec,
     W = rows if variant.startswith("mxu") else S
     io_bf16 = bbuf.dtype == jnp.bfloat16
     io_dtype = bbuf.dtype
+    rows_pad = bbuf.shape[1]           # _rows_pad8(rows) by allocation
+    use_landing = io_bf16 or rows_pad != rows
 
     kernel = functools.partial(
         _seg_fwd_kernel, n_seg=n_seg, n_blocks=n_pad // block_sites,
         n_boundaries=n_boundaries, seg_tips=seg_tips,
         seg_bnd=seg_bnd, seg_ops=seg_ops, states=S, categories=C,
         block_sites=block_sites, variant=variant, io_bf16=io_bf16,
-        pipeline=pipeline)
+        rows_pad=rows_pad, pipeline=pipeline)
     c0 = lambda s, i, *_: (0, 0)
     seg_c = lambda s, i, *_: (s, 0, 0, 0)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
-    bnd16_shape = (2, seg_bnd, rows, block_sites) if io_bf16 else (1, 1, 1, 1)
+    bnd16_shape = ((2, seg_bnd, rows_pad, block_sites) if use_landing
+                   else (1, 1, 1, 1))
     bbuf_new, scbuf_new, lik, sc = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -611,7 +647,7 @@ def _seg_fwd_call(seg_arrs, codes_st, bbuf, scbuf, lcs_st, rcs_st, ec,
                             block_sites), jnp.float32),    # arena
                 pltpu.VMEM(bnd16_shape, io_dtype),         # bnd16 landing
                 pltpu.VMEM((2, 8, block_sites), jnp.float32),   # scacc
-                pltpu.VMEM((2, rows, block_sites), io_dtype),   # stage
+                pltpu.VMEM((2, rows_pad, block_sites), io_dtype),  # stage
                 pltpu.VMEM((2, 8, block_sites), jnp.float32),   # scst
                 pltpu.SemaphoreType.DMA,                   # sem_in
                 pltpu.SemaphoreType.DMA((2,)),             # sem_out
@@ -742,7 +778,8 @@ def _run_forward(plan: SegPlan, codes3, lcs3, rcs3, ec, ttab, rr, n, *,
     n_pad = codes3.shape[-1]
     codes_st, lcs_st, rcs_st = _gather_stacks(xs, codes3, lcs3, rcs3,
                                               plan=plan)
-    bbuf0 = jnp.zeros((plan.n_boundaries + 1, rows, n_pad), io_dtype)
+    bbuf0 = jnp.zeros((plan.n_boundaries + 1, _rows_pad8(rows), n_pad),
+                      io_dtype)
     scbuf0 = jnp.zeros((8, n_pad), jnp.float32)
     bbuf, _, lik, sc = _seg_fwd_call(
         _seg_args(xs), codes_st, bbuf0, scbuf0, lcs_st, rcs_st, ec,
@@ -797,7 +834,8 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
                     sem_in, sem_out,
                     *, n_seg, n_blocks, n_boundaries, seg_tips, seg_bnd,
                     seg_ops, states, categories, block_sites,
-                    variant="vpu", io_bf16=False, pipeline=True):
+                    variant="vpu", io_bf16=False, rows_pad=None,
+                    pipeline=True):
     """Fused segmented backward with double-buffered input DMA.
 
     Same prefetch discipline as the forward (see _seg_fwd_kernel): the
@@ -823,6 +861,8 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
     is_mxu = variant.startswith("mxu")
     if is_mxu:
         dot, dot_t = make_mxu_dots(variant)
+    rows_pad_ = rows_pad or rows
+    use_landing = io_bf16 or rows_pad_ != rows
     n_tips, n_bnd = cnt_ref[sf, 0], cnt_ref[sf, 1]
     n_ops = cnt_ref[sf, 2]
 
@@ -849,7 +889,7 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
         s0 = blk * BS
 
         def bnd_cp(b):
-            dst = (bnd16_ref.at[phase, b] if io_bf16
+            dst = (bnd16_ref.at[phase, b] if use_landing
                    else arena_ref.at[seg_tips + phase * seg_bnd + b])
             return pltpu.make_async_copy(
                 bbuf_hbm.at[bnd_idx_ref[sf, b], :, pl.ds(s0, BS)],
@@ -871,10 +911,10 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
         jax.lax.fori_loop(0, n_bnd,
                           lambda b, c: (bnd_cp(b).wait(), c)[1], 0)
         gb_cp.wait()
-        if io_bf16:
+        if use_landing:
             def widen(b, c):
                 arena_ref[seg_tips + phase * seg_bnd + b] = (
-                    bnd16_ref[phase, b].astype(jnp.float32))
+                    bnd16_ref[phase, b][:rows].astype(jnp.float32))
                 return c
             jax.lax.fori_loop(0, n_bnd, widen, 0)
 
@@ -885,7 +925,7 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
         s0 = blk * BS
 
         def cp(b):
-            src = (gexp_ref.at[b] if io_bf16
+            src = (gexp_ref.at[b] if use_landing
                    else arena_ref.at[seg_tips + phase * seg_bnd + b])
             return pltpu.make_async_copy(
                 src,
@@ -960,7 +1000,7 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
     # Mosaic vector.broadcast verification bug on 1-row operands)
     grrT_ref[...] += jnp.sum(x_root * g, axis=1, keepdims=True)
     gbout = jnp.where(first_rev, jnp.zeros((rows, BS), jnp.float32),
-                      gbout_ref[ph].astype(jnp.float32))
+                      gbout_ref[ph][:rows].astype(jnp.float32))
     arena_ref[phys(rslot_ref[sf])] = rrT_ref[...] * g + gbout
 
     # ---- phase 2: reverse sweep (slots flip CLV -> adjoint) -------------
@@ -1003,10 +1043,11 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
     jax.lax.fori_loop(0, n_ops, bwd_body, 0)
 
     # ---- export boundary-input adjoints straight into gbuf rows ---------
-    if io_bf16:
+    if use_landing:
         def narrow(b, c):
-            gexp_ref[b] = arena_ref[
-                seg_tips + ph * seg_bnd + b].astype(gexp_ref.dtype)
+            gexp_ref[b] = _pad_rows(arena_ref[
+                seg_tips + ph * seg_bnd + b].astype(gexp_ref.dtype),
+                rows_pad_)
             return c
         jax.lax.fori_loop(0, n_bnd, narrow, 0)
     cp = gexp_copies(sf, i, ph)
@@ -1046,12 +1087,14 @@ def _seg_bwd_call(seg_arrs, codes_st, bbuf, gbuf, lcs_st, rcs_st,
 
     io_bf16 = gbuf.dtype == jnp.bfloat16
     io_dtype = gbuf.dtype
+    rows_pad = gbuf.shape[1]
+    use_landing = io_bf16 or rows_pad != rows
     kernel = functools.partial(
         _seg_bwd_kernel, n_seg=n_seg, n_blocks=n_pad // block_sites,
         n_boundaries=n_boundaries,
         seg_tips=seg_tips, seg_bnd=seg_bnd, seg_ops=seg_ops, states=S,
         categories=C, block_sites=block_sites, variant=variant,
-        io_bf16=io_bf16, pipeline=pipeline)
+        io_bf16=io_bf16, rows_pad=rows_pad, pipeline=pipeline)
     c0 = lambda s, i, *_: (0, 0)
     # per-segment blocks are indexed by the FORWARD segment coordinate
     # (reverse of the grid's s) so gl/gr rows line up with fwd order
@@ -1088,12 +1131,14 @@ def _seg_bwd_call(seg_arrs, codes_st, bbuf, gbuf, lcs_st, rcs_st,
             scratch_shapes=[
                 pltpu.VMEM((seg_tips + 2 * seg_bnd + seg_ops, rows,
                             block_sites), jnp.float32),    # arena
-                pltpu.VMEM((2, seg_bnd, rows, block_sites) if io_bf16
+                pltpu.VMEM((2, seg_bnd, rows_pad, block_sites)
+                           if use_landing
                            else (1, 1, 1, 1), io_dtype),   # bnd16
-                pltpu.VMEM((seg_bnd, rows, block_sites) if io_bf16
+                pltpu.VMEM((seg_bnd, rows_pad, block_sites)
+                           if use_landing
                            else (1, 1, 1), io_dtype),      # gexp
                 pltpu.VMEM((seg_ops, 1, block_sites), jnp.float32),
-                pltpu.VMEM((2, rows, block_sites), io_dtype),  # gbout
+                pltpu.VMEM((2, rows_pad, block_sites), io_dtype),  # gbout
                 pltpu.SemaphoreType.DMA,                   # sem_in
                 pltpu.SemaphoreType.DMA,                   # sem_out
             ],
@@ -1184,8 +1229,8 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
         # bf16 adjoint chain when storage is bf16: halves the bwd's
         # dominant HBM stream; the adjoint values carry the same error
         # class as the rounded boundary CLVs they flow through
-        gbuf0 = jnp.zeros((plan.n_boundaries + 1, rows_, n_pad),
-                          io_dtype)
+        gbuf0 = jnp.zeros((plan.n_boundaries + 1, _rows_pad8(rows_),
+                           n_pad), io_dtype)
         _, gl, gr, gec_tot, grrT_tot = _seg_bwd_call(
             _seg_args(xs), codes_st, bbuf, gbuf0, lcs_st, rcs_st,
             lcsT_st, rcsT_st, ec, ecT, ttab, rrT, glik, n,
@@ -1286,6 +1331,8 @@ def stack_plans(plans: Sequence[SegPlan], rows: int,
     # forward kernel's two per-segment operator stacks like
     # plan_segments does (same scratch slot-equivalents accounting)
     extra = 6 + -(-(seg_ops + seg_tips) // max(rows, 1))
+    if rows % 8:
+        extra += 3 * seg_bnd
     bs = fit_block_sites(seg_tips + 2 * seg_bnd + seg_ops + extra, rows,
                          min(p.block_sites for p in plans),
                          vmem_budget - 2 * seg_ops * rows * op_width * 4)
@@ -1320,7 +1367,8 @@ def batched_seg_loglik_parts(xs_b, codes3, lcs3_b, rcs3_b, ec, ttab, rr,
         xs, lcs3, rcs3 = args
         codes_st, lcs_st, rcs_st = _gather_stacks(xs, codes3, lcs3,
                                                   rcs3)
-        bbuf0 = jnp.zeros((n_boundaries + 1, rows, n_pad), io_dtype)
+        bbuf0 = jnp.zeros((n_boundaries + 1, _rows_pad8(rows), n_pad),
+                          io_dtype)
         scbuf0 = jnp.zeros((8, n_pad), jnp.float32)
         _, _, lik, sc = _seg_fwd_call(
             _seg_args(xs), codes_st, bbuf0, scbuf0, lcs_st, rcs_st, ec,
