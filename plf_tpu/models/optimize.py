@@ -414,15 +414,16 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
     cw = jnp.asarray(pm.rate_weights, jnp.float32)
     variant = (cfg.resolved_kernel_variant
                if cfg.backend is not Backend.XLA else "vpu")
-    if variant == "mxu_3x" and cfg.kernel_variant == "auto":
-        # Training override for auto configs: the bf16x3 split costs a
-        # VPU pass over every big operand and the backward runs ~9 dots
-        # per op — measured on v5e the 6-pass HIGHEST backward is both
-        # FASTER (S=20 64x131k value_and_grad 110.9 vs 161.8 ms,
-        # r05_fenced.txt) and more accurate (grad err 7e-06 vs 1.9e-03,
-        # r04_protein.csv).  Forward-only paths keep mxu_3x (21.2 vs
-        # 30.0 ms).  An explicit kernel_variant="mxu_3x" is honoured.
-        variant = "mxu"
+    # Training keeps the auto ladder's mxu_3x at S>=20: under the
+    # order-bias-free interleaved protocol the 3-pass backward is 1.6x
+    # FASTER than 6-pass HIGHEST (S=20 64x131k value_and_grad 63.8 vs
+    # 103.0 ms; S=61 107.0 vs 155.7; r05_interleave.txt — earlier
+    # single-shot orderings that showed the opposite were the
+    # fresh-process warm-up transient).  Accuracy trade: mxu_3x grad
+    # err ~1.9e-03 relative vs HIGHEST's 7e-06 (r04_protein.csv), with
+    # ll drift pinned non-compounding to 256 taxa
+    # (tests/test_tree_seg.py depth ladder); configure
+    # kernel_variant="mxu" for fp32-grade final fits.
     if variant.startswith("mxu"):
         ec = jnp.asarray(L.ev_to_block_matrix(model.plf_ev, S, C))
     else:

@@ -193,6 +193,43 @@ def make_mxu_dots(variant: str):
     return dot, dot_t
 
 
+def make_mxu_bwd_ops(variant: str):
+    """(split, dot_s, dot_t_s): operand-sharing forms of the variant's
+    matmuls for the backward sweeps.
+
+    The reverse-sweep adjoint step runs ~9 contractions per op over ~6
+    distinct operands — several operands feed two contractions each
+    (x1/x2/g_y/g_u1/g_u2).  For ``mxu_3x`` every ``_dot_bf16x3`` call
+    re-derives the bf16 hi/lo decomposition of BOTH operands — a VPU
+    pass over each (rows, BS) operand that the MXU dots then wait on,
+    measured as the reason the 3-pass backward LOSES to the 6-pass
+    HIGHEST one (110.9 vs 161.8 ms, r05_fenced.txt).  Here ``split``
+    decomposes an operand ONCE and ``dot_s``/``dot_t_s`` consume the
+    decomposed pairs, so shared operands split a single time (and
+    loop-invariant operators like ecT can hoist their split out of the
+    op loop entirely).  For mxu / mxu_bf16 ``split`` is the identity and
+    the dots are unchanged — one code shape for the whole ladder, with
+    results bit-identical to the make_mxu_dots forms (same passes, same
+    accumulation order)."""
+    if variant == "mxu_3x":
+        d = functools.partial(jax.lax.dot,
+                              precision=jax.lax.Precision.DEFAULT,
+                              preferred_element_type=jnp.float32)
+        dt = functools.partial(jax.lax.dot_general, dimension_numbers=_DNT,
+                               precision=jax.lax.Precision.DEFAULT,
+                               preferred_element_type=jnp.float32)
+
+        def dot_s(m, x):
+            return d(m[0], x[0]) + (d(m[0], x[1]) + d(m[1], x[0]))
+
+        def dot_t_s(a, b):
+            return dt(a[0], b[0]) + (dt(a[0], b[1]) + dt(a[1], b[0]))
+
+        return _bf16_split, dot_s, dot_t_s
+    dot, dot_t = make_mxu_dots(variant)
+    return (lambda a: a), dot, dot_t
+
+
 def _plf_kernel_mxu(n_ref, x1_ref, x2_ref, ml_ref, mr_ref, me_ref,
                     x3_ref, sc_ref, *, states: int, categories: int,
                     block_sites: int,

@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..reference import TWO_TO_THE_32
 from .plf_grad import _op_grad, _stage, transpose_lane_constants
-from .plf_pallas import make_mxu_dots
+from .plf_pallas import make_mxu_bwd_ops, make_mxu_dots
 from .plf_tree_pallas import (_expand_tip, _plf_node, _plf_node_mxu,
                               _plf_tree_dynamic_call3,
                               compile_register_schedule)
@@ -120,7 +120,9 @@ def _tree_bwd_kernel(n_ref, lpos_ref, rpos_ref,
     valid = idx < n_ref[0]
     is_mxu = variant.startswith("mxu")
     if is_mxu:
-        dot, dot_t = make_mxu_dots(variant)
+        dot, _ = make_mxu_dots(variant)
+        split, dot_s, dot_t_s = make_mxu_bwd_ops(variant)
+        ecT_s = split(ecT_ref[...])    # loop-invariant: split once
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -183,16 +185,20 @@ def _tree_bwd_kernel(n_ref, lpos_ref, rpos_ref,
         x1 = arena_ref[lpos_ref[i]]
         x2 = arena_ref[rpos_ref[i]]
         if is_mxu:
-            u1 = dot(lcv, x1)
-            u2 = dot(rcv, x2)
-            g_p = dot(ecT_ref[...], g_y)
-            g_u1 = g_p * u2
-            g_u2 = g_p * u1
-            gl_ref[i] += dot_t(g_u1, x1)
-            gr_ref[i] += dot_t(g_u2, x2)
-            gec_ref[...] += dot_t(g_y, u1 * u2)
-            gx1 = dot(lcsT_ref[i], g_u1)
-            gx2 = dot(rcsT_ref[i], g_u2)
+            # operand-sharing forms: each distinct operand decomposes
+            # once and feeds every contraction that needs it
+            # (make_mxu_bwd_ops; bit-identical for mxu / mxu_bf16)
+            x1s, x2s, gys = split(x1), split(x2), split(g_y)
+            u1 = dot_s(split(lcv), x1s)
+            u2 = dot_s(split(rcv), x2s)
+            g_p = dot_s(ecT_s, gys)
+            gu1s = split(g_p * u2)
+            gu2s = split(g_p * u1)
+            gl_ref[i] += dot_t_s(gu1s, x1s)
+            gr_ref[i] += dot_t_s(gu2s, x2s)
+            gec_ref[...] += dot_t_s(gys, split(u1 * u2))
+            gx1 = dot_s(split(lcsT_ref[i]), gu1s)
+            gx2 = dot_s(split(rcsT_ref[i]), gu2s)
         else:
             u1 = _stage(x1, lcv, S, C)
             u2 = _stage(x2, rcv, S, C)

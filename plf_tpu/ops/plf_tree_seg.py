@@ -47,7 +47,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..reference import TWO_TO_THE_32
 from .plf_grad import _op_grad, _stage, transpose_lane_constants
-from .plf_pallas import make_mxu_dots
+from .plf_pallas import make_mxu_bwd_ops, make_mxu_dots
 from .plf_tree_pallas import (ARENA_VMEM_BUDGET, _expand_tip, _plf_node,
                               _plf_node_mxu, fit_block_sites)
 
@@ -65,9 +65,25 @@ __all__ = ["plan_segments", "SegPlan", "Segment", "plf_tree_segmented",
 
 
 def _pipeline_default() -> bool:
-    """Manual-DMA prefetch on/off (PLF_SEG_PIPELINE=0 disables; the
-    serial flow issues+waits every copy inline — the bisect control)."""
+    """Manual-DMA prefetch on/off for the FORWARD kernel
+    (PLF_SEG_PIPELINE=0 disables; the serial flow issues+waits every
+    copy inline — the bisect control).  Measured +1.7x on the DNA
+    forward (r05 slope protocol)."""
     return os.environ.get("PLF_SEG_PIPELINE", "1") != "0"
+
+
+def _pipeline_bwd_default() -> bool:
+    """Manual-DMA prefetch on/off for the BACKWARD kernel — default
+    OFF: unlike the forward (+1.7x), prefetch buys the backward nothing
+    measurable at steady state (DNA 160x1.05M value_and_grad 186.3 ms
+    pipelined vs 186.6 serial, same-process interleaved A/B — the
+    backward is recompute-heavy, phase 1 plus a ~3x reverse sweep, so
+    its DMA latency hides behind compute either way), and the serial
+    flow is the simpler/bisectable one.  Single-shot orderings that
+    suggested otherwise were the fresh-process warm-up transient
+    (benchmarks/r05_interleave.py docstring).  PLF_SEG_PIPELINE_BWD=1
+    re-enables for A/B measurement."""
+    return os.environ.get("PLF_SEG_PIPELINE_BWD", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -860,7 +876,9 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
     valid = idx < n_ref[0]
     is_mxu = variant.startswith("mxu")
     if is_mxu:
-        dot, dot_t = make_mxu_dots(variant)
+        dot, _ = make_mxu_dots(variant)
+        split, dot_s, dot_t_s = make_mxu_bwd_ops(variant)
+        ecT_s = split(ecT_ref[...])    # loop-invariant: split once
     rows_pad_ = rows_pad or rows
     use_landing = io_bf16 or rows_pad_ != rows
     n_tips, n_bnd = cnt_ref[sf, 0], cnt_ref[sf, 1]
@@ -1015,16 +1033,20 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
         x1 = arena_ref[phys(lsrc_ref[sf, j])]
         x2 = arena_ref[phys(rsrc_ref[sf, j])]
         if is_mxu:
-            u1 = dot(lcv, x1)
-            u2 = dot(rcv, x2)
-            g_p = dot(ecT_ref[...], g_y)
-            g_u1 = g_p * u2
-            g_u2 = g_p * u1
-            gl_ref[0, j] += dot_t(g_u1, x1)
-            gr_ref[0, j] += dot_t(g_u2, x2)
-            gec_ref[...] += dot_t(g_y, u1 * u2)
-            gx1 = dot(lcsT_ref[0, j], g_u1)
-            gx2 = dot(rcsT_ref[0, j], g_u2)
+            # operand-sharing forms: each distinct operand decomposes
+            # once and feeds every contraction that needs it
+            # (make_mxu_bwd_ops; bit-identical for mxu / mxu_bf16)
+            x1s, x2s, gys = split(x1), split(x2), split(g_y)
+            u1 = dot_s(split(lcv), x1s)
+            u2 = dot_s(split(rcv), x2s)
+            g_p = dot_s(ecT_s, gys)
+            gu1s = split(g_p * u2)
+            gu2s = split(g_p * u1)
+            gl_ref[0, j] += dot_t_s(gu1s, x1s)
+            gr_ref[0, j] += dot_t_s(gu2s, x2s)
+            gec_ref[...] += dot_t_s(gys, split(u1 * u2))
+            gx1 = dot_s(split(lcsT_ref[0, j]), gu1s)
+            gx2 = dot_s(split(rcsT_ref[0, j]), gu2s)
         else:
             u1 = _stage(x1, lcv, S, C)
             u2 = _stage(x2, rcv, S, C)
@@ -1238,7 +1260,7 @@ def make_tree_diff_segmented(schedule: Sequence[Tuple], n_leaves: int, *,
             seg_bnd=plan.seg_bnd, seg_ops=plan.seg_ops, states=S,
             categories=C, block_sites=plan.block_sites,
             interpret=interpret, variant=variant,
-            pipeline=_pipeline_default())
+            pipeline=_pipeline_bwd_default())
         # fold the per-segment operator gradients back to schedule
         # positions (padded rows are exactly zero — zero-init per
         # segment, loops stop at the real op count)
