@@ -531,12 +531,18 @@ def _tree_loglik_fn_tree(pm: PhyloModel, with_rates: bool = False,
 
     jfn = jax.jit(loglik_rates)
     if with_weights:
-        return (lambda t_vec, r_vec, w_vec:
-                jfn(t_vec, r_vec, w_vec, codes3, wpad)), t0
-    if with_rates:
-        return (lambda t_vec, r_vec:
-                jfn(t_vec, r_vec, cw, codes3, wpad)), t0
-    return (lambda t_vec: jfn(t_vec, rates, cw, codes3, wpad)), t0
+        fn = (lambda t_vec, r_vec, w_vec:
+              jfn(t_vec, r_vec, w_vec, codes3, wpad))
+    elif with_rates:
+        fn = (lambda t_vec, r_vec:
+              jfn(t_vec, r_vec, cw, codes3, wpad))
+    else:
+        fn = lambda t_vec: jfn(t_vec, rates, cw, codes3, wpad)
+    # introspection for tests/tooling: which kernel variant and engine
+    # this differentiable path actually runs (the auto ladder's choice)
+    fn.variant = variant
+    fn.engine = "segmented" if segmented else "tree"
+    return fn, t0
 
 
 def optimize_branch_lengths(pm: PhyloModel, steps: int = 100,

@@ -68,6 +68,55 @@ def _op_grad(inp, gout, S, C):
     return jnp.concatenate(cols, axis=1)
 
 
+#: contract the trailing/site axis: (rows, BS) x (rows, BS) -> (rows, rows)
+_DNT_SITES = (((1,), (1,)), ((), ()))
+
+
+def _op_grad_mxu(inp, gout, S, C):
+    """(rows, S) operator gradient via ONE MXU site contraction.
+
+    Identity: gl[r, a] = Σ_s tile_a(inp)[r, s] * gout[r, s]
+                       = M[r, a*C + r%C]   with M = gout @ inp.T.
+    The site reduction — S cross-lane VPU reductions over (rows, BS)
+    per call in :func:`_op_grad`, the dominant cost of the VPU reverse
+    sweep (3 calls, 3*S lane reductions per op) — becomes one
+    (rows, rows) matmul on the systolic array at HIGHEST (6-pass,
+    ~1 ULP); what remains on the VPU is an O(rows*S) static row-phase
+    selection of the needed diagonal entries.  Summation order over
+    sites differs from _op_grad (MXU accumulation), so results agree to
+    fp32 reduction-order tolerance, not bitwise — gradients carry no
+    bit-exactness contract (the forward anchor does).
+    """
+    M = jax.lax.dot_general(gout, inp, dimension_numbers=_DNT_SITES,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    rows = S * C
+    # phase[r, c] = 1 iff c == r % C  (static pattern)
+    rmod = jax.lax.broadcasted_iota(jnp.int32, (rows, C), 0) % C
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (rows, C), 1)
+    phase = (cidx == rmod).astype(jnp.float32)
+    cols = [jnp.sum(M[:, a * C:(a + 1) * C] * phase, axis=1,
+                    keepdims=True) for a in range(S)]
+    return jnp.concatenate(cols, axis=1)
+
+
+def resolve_op_grad():
+    """Op-grad reduction form for the VPU backward sweeps.
+
+    PLF_VPU_BWD_MXU_REDUCE=1 selects :func:`_op_grad_mxu`; the default
+    is the pure-VPU :func:`_op_grad`.  Measured on v5e (interleaved
+    protocol, DNA 160x1.05M segmented value_and_grad): the two are
+    IDENTICAL at steady state (252.1 vs 251.7 ms same-lease,
+    r05_opgrad.txt) — the cross-lane reductions are not the backward's
+    bottleneck; the DNA backward already runs at its ~3.7x
+    recompute+sweep flop ratio vs the forward.  The MXU form stays
+    available as the A/B control and for shapes where lane-reduction
+    cost might re-emerge.  Read at kernel trace time."""
+    import os
+    return (_op_grad_mxu if os.environ.get("PLF_VPU_BWD_MXU_REDUCE",
+                                           "0") == "1" else _op_grad)
+
+
 def _plf_bwd_kernel(n_ref, x1_ref, x2_ref, g_ref, sc_ref,
                     lc_ref, rc_ref, lcT_ref, rcT_ref, ecT_ref,
                     gx1_ref, gx2_ref, gl_ref, gr_ref, ge_ref, *,
@@ -75,6 +124,7 @@ def _plf_bwd_kernel(n_ref, x1_ref, x2_ref, g_ref, sc_ref,
     S, C = states, categories
     BS = block_sites
     CH = min(CHUNK_SITES, BS)
+    og = resolve_op_grad()
     site0 = pl.program_id(0) * BS
 
     @pl.when(pl.program_id(0) == 0)
@@ -105,9 +155,9 @@ def _plf_bwd_kernel(n_ref, x1_ref, x2_ref, g_ref, sc_ref,
             gx1_ref.dtype)
         gx2_ref[:, o:o + CH] = _stage(g_u2, rcT_ref, S, C).astype(
             gx2_ref.dtype)
-        gl_ref[...] += _op_grad(x1, g_u1, S, C)
-        gr_ref[...] += _op_grad(x2, g_u2, S, C)
-        ge_ref[...] += _op_grad(u1 * u2, g_y, S, C)
+        gl_ref[...] += og(x1, g_u1, S, C)
+        gr_ref[...] += og(x2, g_u2, S, C)
+        ge_ref[...] += og(u1 * u2, g_y, S, C)
 
 
 @functools.partial(

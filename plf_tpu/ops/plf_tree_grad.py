@@ -53,7 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..reference import TWO_TO_THE_32
-from .plf_grad import _op_grad, _stage, transpose_lane_constants
+from .plf_grad import _stage, resolve_op_grad, transpose_lane_constants
 from .plf_pallas import make_mxu_bwd_ops, make_mxu_dots
 from .plf_tree_pallas import (_expand_tip, _plf_node, _plf_node_mxu,
                               _plf_tree_dynamic_call3,
@@ -123,6 +123,8 @@ def _tree_bwd_kernel(n_ref, lpos_ref, rpos_ref,
         dot, _ = make_mxu_dots(variant)
         split, dot_s, dot_t_s = make_mxu_bwd_ops(variant)
         ecT_s = split(ecT_ref[...])    # loop-invariant: split once
+    else:
+        og = resolve_op_grad()
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -205,9 +207,9 @@ def _tree_bwd_kernel(n_ref, lpos_ref, rpos_ref,
             g_p = _stage(g_y, ecT_ref, S, C)
             g_u1 = g_p * u2
             g_u2 = g_p * u1
-            gl_ref[i] += _op_grad(x1, g_u1, S, C)
-            gr_ref[i] += _op_grad(x2, g_u2, S, C)
-            gec_ref[...] += _op_grad(u1 * u2, g_y, S, C)
+            gl_ref[i] += og(x1, g_u1, S, C)
+            gr_ref[i] += og(x2, g_u2, S, C)
+            gec_ref[...] += og(u1 * u2, g_y, S, C)
             gx1 = _stage(g_u1, lcsT_ref[i], S, C)
             gx2 = _stage(g_u2, rcsT_ref[i], S, C)
         # child adjoint writes are unconditional: a leaf child's slot is

@@ -46,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..reference import TWO_TO_THE_32
-from .plf_grad import _op_grad, _stage, transpose_lane_constants
+from .plf_grad import _stage, resolve_op_grad, transpose_lane_constants
 from .plf_pallas import make_mxu_bwd_ops, make_mxu_dots
 from .plf_tree_pallas import (ARENA_VMEM_BUDGET, _expand_tip, _plf_node,
                               _plf_node_mxu, fit_block_sites)
@@ -879,6 +879,8 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
         dot, _ = make_mxu_dots(variant)
         split, dot_s, dot_t_s = make_mxu_bwd_ops(variant)
         ecT_s = split(ecT_ref[...])    # loop-invariant: split once
+    else:
+        og = resolve_op_grad()
     rows_pad_ = rows_pad or rows
     use_landing = io_bf16 or rows_pad_ != rows
     n_tips, n_bnd = cnt_ref[sf, 0], cnt_ref[sf, 1]
@@ -1053,9 +1055,9 @@ def _seg_bwd_kernel(n_ref, cnt_ref, lsrc_ref, rsrc_ref, rslot_ref,
             g_p = _stage(g_y, ecT_ref, S, C)
             g_u1 = g_p * u2
             g_u2 = g_p * u1
-            gl_ref[0, j] += _op_grad(x1, g_u1, S, C)
-            gr_ref[0, j] += _op_grad(x2, g_u2, S, C)
-            gec_ref[...] += _op_grad(u1 * u2, g_y, S, C)
+            gl_ref[0, j] += og(x1, g_u1, S, C)
+            gr_ref[0, j] += og(x2, g_u2, S, C)
+            gec_ref[...] += og(u1 * u2, g_y, S, C)
             gx1 = _stage(g_u1, lcsT_ref[0, j], S, C)
             gx2 = _stage(g_u2, rcsT_ref[0, j], S, C)
         arena_ref[phys(lsrc_ref[sf, j])] = gx1

@@ -148,6 +148,21 @@ def test_resolved_variant_auto_protein_is_mxu_3x():
                      ).resolved_kernel_variant == "vpu"
 
 
+def test_training_keeps_mxu_3x_no_6pass_override():
+    """Regression: round 5 briefly routed auto S>=20 TRAINING to 6-pass
+    "mxu" based on an order-biased measurement (the fresh-process
+    warm-up transient); the interleaved steady-state protocol showed
+    mxu_3x training is 1.6x FASTER at S=20 and S=61
+    (benchmarks/results/r05_interleave.txt), so auto must stay on the
+    ladder's mxu_3x for the differentiable tree/segmented paths."""
+    pm = _make_pm(n_leaves=6, n=200, states=20, variant="auto",
+                  categories=2)
+    for backend in ("segmented", "tree"):
+        fn, _ = tree_loglik_fn(pm, backend=backend)
+        assert fn.variant == "mxu_3x"
+        assert fn.engine == backend
+
+
 def test_backend_selector_agrees_with_factory():
     """Regression (round-4 review): _tree_backend_block must size the
     backward with the same op_width as make_tree_diff's own validation,
